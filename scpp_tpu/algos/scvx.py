@@ -1,0 +1,195 @@
+"""SCvx: successive convexification with a hard trust region & ratio test.
+
+Behavioral parity with the reference SCvxAlgorithm/SCvxProblem
+(scpp_core/src/SCvxAlgorithm.cpp:15-278, SCvxProblem.cpp:6-73): fixed
+final time, L1 virtual control, per-node input trust region
+||u - u0|| <= r, accept/reject on the nonlinear-vs-linear cost ratio
+rho = (J_last - J_new) / (J_last - L_new), radius /= alpha on reject or
+rho < rho_1, radius *= beta on rho >= rho_2, convergence when
+|J_last - L| < change_threshold.
+
+TPU-native redesign: the whole solve is a single jitted ``lax.scan`` over a
+fixed solve budget. One scan step = discretize -> conic solve -> resimulate
+-> masked accept/reject update, so a batch of scenarios runs the loop in
+lockstep with per-scenario masks instead of divergent control flow
+(SURVEY §7 "while-loop + reject semantics under vmap"). Rejected steps
+recompute the identical discretization (td unchanged) rather than caching
+it — pure-function semantics at the price of a cheap redundant vmap.
+
+Reference quirks kept for numeric parity:
+  - the first subproblem solve is accepted unconditionally
+    (SCvxAlgorithm.cpp:109-113),
+  - ``last_nonlinear_cost`` is overwritten even when the step is rejected
+    (SCvxAlgorithm.cpp:118),
+  - the linearization point of exact_minimum_thrust refreshes once per
+    solve, not per iteration (rocketQuat.hpp:87-94, SCAlgorithm.cpp:152).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from scpp_tpu.algos.common import nonlinear_defect_cost, tree_select
+from scpp_tpu.configs.algorithms import SCvxConfig
+from scpp_tpu.ops.discretization import multiple_shooting
+from scpp_tpu.solver import Aff, ConeProblemBuilder, solve_conic
+from scpp_tpu.trajectory import DiscretizationData, TrajectoryData
+
+__all__ = ["SCvxResult", "solve_scvx", "build_scvx_subproblem"]
+
+
+@struct.dataclass
+class SCvxResult:
+    td: TrajectoryData            # final (accepted) trajectory
+    converged: jnp.ndarray        # bool
+    iterations: jnp.ndarray       # number of accepted iterations
+    trust_region: jnp.ndarray     # final radius
+    # per-scan-step history (solve_budget entries)
+    all_X: jnp.ndarray
+    all_U: jnp.ndarray
+    accepted: jnp.ndarray         # which steps were accepted
+    nonlinear_cost: jnp.ndarray   # J after each step
+    linear_cost: jnp.ndarray      # L = ||nu||_1 after each step
+    max_residual: jnp.ndarray     # worst conic-solver residual seen
+
+
+def build_scvx_subproblem(model, params, td: TrajectoryData,
+                          dd: DiscretizationData, trust_region, weight_nu,
+                          ref):
+    """The SCvx convex subproblem (SCvxProblem.cpp:6-73 + model constraints)."""
+    K = td.n_X
+    n_U = td.n_U
+    n, m = model.state_dim, model.input_dim
+    foh = td.interpolated_input
+
+    pb = ConeProblemBuilder()
+    X = pb.add_variable("X", K, n)
+    U = pb.add_variable("U", n_U, m)
+    nu = pb.add_variable("nu", K - 1, n)
+    nub = pb.add_variable("nu_bound", K - 1, n)
+    norm1 = pb.add_variable("norm1_nu")
+
+    # linearized dynamics x_{k+1} = A x_k + B u_k (+ C u_{k+1}) + z + nu
+    for k in range(K - 1):
+        lhs = (X.place(dd.A[k], k) + U.place(dd.B[k], k)
+               + nu[k] - X[k + 1] + dd.z[k])
+        if foh:
+            lhs = lhs + U.place(dd.C[k], k + 1)
+        pb.add_eq(lhs)
+
+    # L1 virtual-control epigraph
+    pb.add_nonneg(nub[...] - nu[...])
+    pb.add_nonneg(nu[...] + nub[...])
+    pb.add_nonneg(norm1[...] - nub[...].sum())
+    pb.add_cost(norm1[...] * weight_nu)
+
+    # hard per-node input trust region ||u - u0|| <= r
+    for k in range(n_U):
+        pb.add_soc(Aff.constant(trust_region), U[k] - td.U[k])
+
+    model.constraints(pb, X, U, params, ref)
+    return pb.build(td.X.dtype)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
+               warm_td: TrajectoryData = None) -> SCvxResult:
+    """Full SCvx solve as one jitted function (SCvxAlgorithm.cpp:166-222).
+
+    ``warm_td`` (dimensional) replaces the model's initial trajectory,
+    mirroring solve(warm_start=true).
+    """
+    if cfg.nondimensionalize:
+        params = model.nondimensionalize(params)
+    par = model.param_vector(params)
+
+    if warm_td is None:
+        td0 = model.init_trajectory(params, cfg.K, cfg.interpolate_input)
+    else:
+        td0 = (model.scale_trajectory(params, warm_td)
+               if cfg.nondimensionalize else warm_td)
+
+    # constraint linearization refs refresh once per solve (see module doc)
+    ref = model.constraint_ref(params, td0)
+
+    dtype = td0.X.dtype
+    w_nu = jnp.asarray(cfg.weight_virtual_control, dtype)
+
+    def step(carry, _):
+        td, trust, last_J, has_last, accepts, converged, done, max_res = carry
+
+        dd = multiple_shooting(model, par, td, substeps=cfg.substeps,
+                               method=cfg.integrator, variable_time=False)
+        prog = build_scvx_subproblem(model, params, td, dd,
+                                     jnp.asarray(trust, dtype), w_nu, ref)
+        res = solve_conic(prog, cfg.solver)
+
+        new_td = td.replace(X=prog.extract(res.x, "X"),
+                            U=prog.extract(res.x, "U"))
+        L = prog.extract(res.x, "norm1_nu")
+        J_new = nonlinear_defect_cost(model, par, new_td, cfg.sim_substeps,
+                                      cfg.integrator)
+
+        # ratio test (SCvxAlgorithm.cpp:95-154)
+        actual = last_J - J_new
+        predicted = last_J - L
+        first = jnp.logical_not(has_last)
+        conv_now = jnp.logical_and(jnp.logical_not(first),
+                                   jnp.abs(predicted) < cfg.change_threshold)
+        rho = actual / jnp.where(jnp.abs(predicted) < 1e-30,
+                                 jnp.asarray(1e-30, dtype), predicted)
+        reject = jnp.logical_and(jnp.logical_not(first),
+                                 jnp.logical_and(jnp.logical_not(conv_now),
+                                                 rho < cfg.rho_0))
+        accept = jnp.logical_not(reject)
+
+        shrink = jnp.logical_or(reject, jnp.logical_and(accept, rho < cfg.rho_1))
+        grow = jnp.logical_and(accept, rho >= cfg.rho_2)
+        trust_new = jnp.where(jnp.logical_or(first, conv_now), trust,
+                              jnp.where(shrink, trust / cfg.alpha,
+                                        jnp.where(grow, trust * cfg.beta, trust)))
+
+        td_next = tree_select(jnp.logical_and(accept, jnp.logical_not(done)),
+                              new_td, td)
+        # reference quirk: last_J overwritten even on reject (cpp:118)
+        last_J_next = jnp.where(done, last_J, J_new)
+        accepts_next = accepts + jnp.where(
+            jnp.logical_and(accept, jnp.logical_not(done)), 1, 0)
+        converged_next = jnp.logical_or(converged,
+                                        jnp.logical_and(conv_now,
+                                                        jnp.logical_not(done)))
+        done_next = jnp.logical_or(
+            done, jnp.logical_or(converged_next,
+                                 accepts_next >= cfg.max_iterations))
+        trust_next = jnp.where(done, trust, trust_new)
+        max_res_next = jnp.where(done, max_res,
+                                 jnp.maximum(max_res,
+                                             jnp.maximum(res.res_pri,
+                                                         res.res_dua)))
+
+        out = (td_next.X, td_next.U,
+               jnp.logical_and(accept, jnp.logical_not(done)),
+               J_new, L)
+        return (td_next, trust_next, last_J_next, jnp.asarray(True),
+                accepts_next, converged_next, done_next, max_res_next), out
+
+    carry0 = (td0, jnp.asarray(cfg.trust_region, dtype),
+              jnp.asarray(0.0, dtype), jnp.asarray(False),
+              jnp.asarray(0, jnp.int32),
+              jnp.asarray(False), jnp.asarray(False), jnp.asarray(0.0, dtype))
+    (td, trust, _, _, accepts, converged, _, max_res), ys = jax.lax.scan(
+        step, carry0, None, length=cfg.solve_budget)
+    all_X, all_U, accepted, Js, Ls = ys
+
+    if cfg.nondimensionalize:
+        td = model.unscale_trajectory(params, td)
+
+    return SCvxResult(
+        td=td, converged=converged, iterations=accepts, trust_region=trust,
+        all_X=all_X, all_U=all_U, accepted=accepted,
+        nonlinear_cost=Js, linear_cost=Ls, max_residual=max_res,
+    )

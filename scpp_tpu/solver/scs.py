@@ -175,11 +175,11 @@ def solve_conic(prog: ConicProgram, settings: SolverSettings = SolverSettings(),
     A, D, E = _ruiz(A0, prog, groups, settings.ruiz_iters)
     b = D * b0
     c = E * c0
-    # scalar normalization: balance ||b|| and ||c|| (SCS sigma/rho)
-    bnorm = jnp.linalg.norm(b)
-    cnorm = jnp.linalg.norm(c)
-    scale_b = jnp.where(bnorm > 1e-12, (1.0 + cnorm) / (1.0 + bnorm), 1.0)
-    scale_c = 1.0
+    # scalar normalization: bring ||b||, ||c|| to O(1) so the HSD
+    # denominator 1 + (c,b)' M^-1 (c,b) stays O(1) and tau moves at a
+    # healthy rate (large ||c|| otherwise crushes tau toward 0)
+    scale_b = 1.0 / (1.0 + jnp.linalg.norm(b))
+    scale_c = 1.0 / (1.0 + jnp.linalg.norm(c))
     b = b * scale_b
     c = c * scale_c
 
@@ -232,11 +232,11 @@ def solve_conic(prog: ConicProgram, settings: SolverSettings = SolverSettings(),
     y_hat = u[n:n + m] / safe_tau
     s_hat = v[n:n + m] / safe_tau
 
-    # scaled problem was min (Ec)'x^ s.t. (DAE) x^ + s^ = (Db) scale_b:
-    # rhs scaling scale_b multiplies the primal solution and leaves duals
-    # unchanged, so x = E x^ / scale_b, s = D^-1 s^ / scale_b, y = D y^.
+    # scaled problem: min (scale_c E c)'x^ s.t. (DAE) x^ + s^ = scale_b D b.
+    # rhs scaling multiplies primal solutions, cost scaling multiplies
+    # duals: x = E x^ / scale_b, s = D^-1 s^ / scale_b, y = D y^ / scale_c.
     x = E * x_hat / scale_b
-    y = D * y_hat
+    y = D * y_hat / scale_c
     s = s_hat / D / scale_b
 
     obj = c0 @ x
