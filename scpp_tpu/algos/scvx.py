@@ -36,7 +36,7 @@ from flax import struct
 from scpp_tpu.algos.common import nonlinear_defect_cost, tree_select
 from scpp_tpu.configs.algorithms import SCvxConfig
 from scpp_tpu.ops.discretization import multiple_shooting
-from scpp_tpu.solver import Aff, ConeProblemBuilder, solve_conic
+from scpp_tpu.solver import Aff, ConeProblemBuilder, solve
 from scpp_tpu.trajectory import DiscretizationData, TrajectoryData
 
 __all__ = ["SCvxResult", "solve_scvx", "build_scvx_subproblem"]
@@ -126,7 +126,7 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
                                method=cfg.integrator, variable_time=False)
         prog = build_scvx_subproblem(model, params, td, dd,
                                      jnp.asarray(trust, dtype), w_nu, ref)
-        res = solve_conic(prog, cfg.solver)
+        res = solve(prog, cfg.solver)
 
         new_td = td.replace(X=prog.extract(res.x, "X"),
                             U=prog.extract(res.x, "U"))

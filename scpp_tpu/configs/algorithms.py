@@ -14,7 +14,8 @@ from dataclasses import dataclass, replace
 
 import numpy as np
 
-from scpp_tpu.solver.scs import SolverSettings
+from scpp_tpu.solver.ipm import IPMSettings
+from scpp_tpu.solver.scs import SolverSettings  # noqa: F401 (alt backend)
 from scpp_tpu.utils.info_parser import InfoFile
 
 __all__ = ["SCConfig", "SCvxConfig", "MPCConfig", "LQRConfig"]
@@ -40,7 +41,7 @@ class SCvxConfig:
     substeps: int = 10
     sim_substeps: int = 12
     integrator: str = "dopri5"
-    solver: SolverSettings = SolverSettings(iters=1500)
+    solver: object = IPMSettings(iters=30)
 
     @staticmethod
     def from_info(path: str, **overrides) -> "SCvxConfig":
@@ -81,7 +82,7 @@ class SCConfig:
     substeps: int = 10
     sim_substeps: int = 12
     integrator: str = "dopri5"
-    solver: SolverSettings = SolverSettings(iters=2000)
+    solver: object = IPMSettings(iters=30)
 
     @staticmethod
     def from_info(path: str, **overrides) -> "SCConfig":
@@ -118,7 +119,7 @@ class MPCConfig:
     state_weights_intermediate: tuple = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
     state_weights_terminal: tuple = (5.0, 5.0, 5.0, 1.0, 1.0, 1.0)
     input_weights: tuple = (0.1, 0.1)
-    solver: SolverSettings = SolverSettings(iters=600, warm_start=True)
+    solver: object = IPMSettings(iters=20)
 
     @staticmethod
     def from_info(path: str, state_dim: int, input_dim: int, **overrides) -> "MPCConfig":

@@ -1,0 +1,396 @@
+"""Batched dense primal-dual interior-point SOCP solver.
+
+The accuracy backend replacing the reference's ECOS (SURVEY §2 V3): a
+Mehrotra predictor-corrector path-following method with Nesterov-Todd
+scaling over nonneg x SOC cones — the same algorithm family as
+ECOS/CVXOPT's conelp — re-designed for TPU batching:
+
+  - all linear algebra is *dense* (Cholesky of the reduced KKT), so a
+    vmap over scenarios turns every step into batched MXU matmuls;
+  - a *fixed* iteration count with convergence masking keeps a batch in
+    lockstep (no data-dependent trip counts under jit);
+  - SOC blocks are processed in size-groups via static gathers, so the
+    Jordan-algebra operations (products, inverses, NT scaling, boundary
+    step lengths) are vectorized over all cones of equal size.
+
+Problem form (from ConeProblemBuilder): rows of A split into equalities
+(zero cone) and the conic part:  min c'x  s.t.  A_eq x = b_eq,
+G x + s = h,  s in K = R+^l x SOC(q_1) x ... Solves to ~1e-8 feasibility
+in float64 and ~1e-5 in float32 in 10-30 iterations regardless of
+conditioning of the SCvx subproblems, which first-order splitting cannot
+reach in a comparable budget.
+
+The reduced KKT system per iteration:
+
+    [H  A']  [dx]   [r1]            H = G' W^-2 G  (+ rho A'A + eps I)
+    [A  0 ]  [dy] = [r2]
+
+is solved with two Cholesky factorizations (H-lift and its Schur
+complement), dz/ds recovered in closed form.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from scpp_tpu.solver.builder import ConicProgram
+from scpp_tpu.solver.scs import SolverResult
+
+__all__ = ["IPMSettings", "solve_conic_ipm"]
+
+_P = jax.lax.Precision.HIGHEST
+
+
+@struct.dataclass
+class IPMSettings:
+    iters: int = struct.field(pytree_node=False, default=25)
+    step_frac: float = struct.field(pytree_node=False, default=0.99)
+    eps_reg: float = struct.field(pytree_node=False, default=1e-10)
+    rho_lift: float = struct.field(pytree_node=False, default=1.0)
+    eps_feas: float = struct.field(pytree_node=False, default=1e-9)
+
+
+class _ConeOps:
+    """Static-layout Jordan-algebra operations on the conic part."""
+
+    def __init__(self, prog: ConicProgram):
+        self.l = prog.n_ineq
+        self.soc_sizes = prog.soc_sizes
+        self.mc = self.l + sum(prog.soc_sizes)
+        self.deg = self.l + len(prog.soc_sizes)
+        groups = {}
+        off = self.l
+        for q in prog.soc_sizes:
+            groups.setdefault(q, []).append(off)
+            off += q
+        # (q -> (G, q) static index grids into the cone vector)
+        self.groups = {q: np.asarray(heads)[:, None] + np.arange(q)[None, :]
+                       for q, heads in groups.items()}
+
+    def e(self, dtype):
+        v = np.zeros(self.mc)
+        v[:self.l] = 1.0
+        for q, idx in self.groups.items():
+            v[idx[:, 0]] = 1.0
+        return jnp.asarray(v, dtype)
+
+    def mul(self, u, v):
+        """Jordan product u o v."""
+        out = jnp.zeros_like(u)
+        if self.l:
+            out = out.at[:self.l].set(u[:self.l] * v[:self.l])
+        for q, idx in self.groups.items():
+            ub, vb = u[idx], v[idx]
+            head = jnp.sum(ub * vb, axis=1)
+            tail = ub[:, :1] * vb[:, 1:] + vb[:, :1] * ub[:, 1:]
+            out = out.at[idx].set(
+                jnp.concatenate([head[:, None], tail], axis=1))
+        return out
+
+    def inv(self, u):
+        """Jordan inverse."""
+        out = jnp.zeros_like(u)
+        if self.l:
+            out = out.at[:self.l].set(1.0 / u[:self.l])
+        for q, idx in self.groups.items():
+            ub = u[idx]
+            det = ub[:, 0] ** 2 - jnp.sum(ub[:, 1:] ** 2, axis=1)
+            Ju = jnp.concatenate([ub[:, :1], -ub[:, 1:]], axis=1)
+            out = out.at[idx].set(Ju / det[:, None])
+        return out
+
+    def min_shift(self, u):
+        """min t such that u + t e is in K: max over cones of the violation
+        (-u_i for nonneg rows, ||u_1|| - u_0 for SOC blocks). Negative when
+        u is strictly interior."""
+        parts = [jnp.asarray(-jnp.inf, u.dtype)]
+        if self.l:
+            parts.append(jnp.max(-u[:self.l]))
+        for q, idx in self.groups.items():
+            ub = u[idx]
+            parts.append(jnp.max(jnp.sqrt(jnp.sum(ub[:, 1:] ** 2, 1)) - ub[:, 0]))
+        return jnp.max(jnp.stack(parts))
+
+    def max_step(self, u, du):
+        """sup {a >= 0 : u + t du in K for all t in [0, a]} (u interior)."""
+        big = jnp.asarray(1e20, u.dtype)
+        alphas = [big]
+        if self.l:
+            un, dn = u[:self.l], du[:self.l]
+            a = jnp.where(dn < 0, -un / jnp.where(dn < 0, dn, -1.0), big)
+            alphas.append(jnp.min(a))
+        for q, idx in self.groups.items():
+            ub, db = u[idx], du[idx]
+            a2 = db[:, 0] ** 2 - jnp.sum(db[:, 1:] ** 2, axis=1)
+            b2 = ub[:, 0] * db[:, 0] - jnp.sum(ub[:, 1:] * db[:, 1:], axis=1)
+            c2 = ub[:, 0] ** 2 - jnp.sum(ub[:, 1:] ** 2, axis=1)
+            disc = b2 ** 2 - a2 * c2
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            # first positive root of a2 t^2 + 2 b2 t + c2 = 0 leaving K
+            root_neg_a = (b2 + sq) / jnp.maximum(-a2, 1e-30)      # a2 < 0
+            root_pos_a = jnp.where(
+                (disc > 0) & (b2 < 0),
+                c2 / jnp.maximum(-b2 + sq, 1e-30),                # stable form
+                big)                                               # a2 > 0
+            lin = jnp.where(b2 < 0, -c2 / (2.0 * jnp.where(b2 < 0, b2, -1.0)),
+                            big)
+            a_soc = jnp.where(a2 < -1e-30, root_neg_a,
+                              jnp.where(a2 > 1e-30, root_pos_a, lin))
+            # safety cap from the linear head coordinate
+            head_cap = jnp.where(db[:, 0] < 0,
+                                 -ub[:, 0] / jnp.where(db[:, 0] < 0, db[:, 0],
+                                                       -1.0), big)
+            alphas.append(jnp.min(jnp.minimum(a_soc, head_cap)))
+        return jnp.min(jnp.stack(alphas))
+
+    # ---- Nesterov-Todd scaling ----
+
+    def nt_scaling(self, s, z):
+        """W with W z = W^-1 s = lambda; returns (Wrep, lambda).
+
+        nonneg: W = diag(sqrt(s/z)). SOC: W = P(w^{1/2}) where the scaling
+        point w = eta * (s_bar + J z_bar)/(2 gamma) (verified numerically:
+        P(w) z = s, W symmetric, W^2 z = s).
+        """
+        rep = {}
+        lam = jnp.zeros_like(s)
+        if self.l:
+            sn, zn = s[:self.l], z[:self.l]
+            wd = jnp.sqrt(sn / zn)
+            rep["diag"] = wd
+            lam = lam.at[:self.l].set(jnp.sqrt(sn * zn))
+        rep["soc"] = {}
+        for q, idx in self.groups.items():
+            sb_, zb_ = s[idx], z[idx]
+            J = np.diag([1.0] + [-1.0] * (q - 1))
+            det_s = jnp.maximum(sb_[:, 0] ** 2 - jnp.sum(sb_[:, 1:] ** 2, 1), 1e-30)
+            det_z = jnp.maximum(zb_[:, 0] ** 2 - jnp.sum(zb_[:, 1:] ** 2, 1), 1e-30)
+            sbar = sb_ / jnp.sqrt(det_s)[:, None]
+            zbar = zb_ / jnp.sqrt(det_z)[:, None]
+            gamma = jnp.sqrt(jnp.maximum((1.0 + jnp.sum(sbar * zbar, 1)) / 2.0,
+                                         1e-30))
+            Jzbar = zbar @ J
+            wbar = (sbar + Jzbar) / (2.0 * gamma[:, None])
+            eta = (det_s / det_z) ** 0.25
+            w = eta[:, None] * wbar                       # P(w) z = s
+            detw = jnp.maximum(w[:, 0] ** 2 - jnp.sum(w[:, 1:] ** 2, 1), 1e-30)
+            sqrt_detw = jnp.sqrt(detw)
+            # Jordan square root u = w^{1/2}
+            e0 = np.zeros(q); e0[0] = 1.0
+            u = (w + sqrt_detw[:, None] * e0) / jnp.sqrt(
+                2.0 * (w[:, 0] + sqrt_detw))[:, None]
+            detu = sqrt_detw
+            W = (2.0 * u[:, :, None] * u[:, None, :]
+                 - detu[:, None, None] * J)
+            # W^-1 = P(u^{-1}), u^{-1} = J u / det(u)
+            uinv = (u @ J) / detu[:, None]
+            Winv = (2.0 * uinv[:, :, None] * uinv[:, None, :]
+                    - (1.0 / detu)[:, None, None] * J)
+            rep["soc"][q] = (W, Winv)
+            lam = lam.at[idx].set(
+                jnp.einsum("gij,gj->gi", W, zb_, precision=_P))
+        return rep, lam
+
+    def apply_W(self, rep, v):
+        out = jnp.zeros_like(v)
+        if self.l:
+            out = out.at[:self.l].set(rep["diag"] * v[:self.l])
+        for q, idx in self.groups.items():
+            W, _ = rep["soc"][q]
+            out = out.at[idx].set(
+                jnp.einsum("gij,gj->gi", W, v[idx], precision=_P))
+        return out
+
+    def apply_Winv(self, rep, v):
+        out = jnp.zeros_like(v)
+        if self.l:
+            out = out.at[:self.l].set(v[:self.l] / rep["diag"])
+        for q, idx in self.groups.items():
+            _, Winv = rep["soc"][q]
+            out = out.at[idx].set(
+                jnp.einsum("gij,gj->gi", Winv, v[idx], precision=_P))
+        return out
+
+    def apply_Winv_mat(self, rep, M):
+        """W^-1 @ M for an (mc, n) matrix."""
+        out = jnp.zeros_like(M)
+        if self.l:
+            out = out.at[:self.l].set(rep["diag"][:, None] ** -1 * M[:self.l])
+        for q, idx in self.groups.items():
+            _, Winv = rep["soc"][q]
+            out = out.at[idx.ravel()].set(
+                jnp.einsum("gij,gjn->gin", Winv, M[idx],
+                           precision=_P).reshape(-1, M.shape[1]))
+        return out
+
+
+def _identity_scaling(ops: _ConeOps, dtype):
+    rep = {}
+    if ops.l:
+        rep["diag"] = jnp.ones(ops.l, dtype)
+    rep["soc"] = {}
+    for q in ops.groups:
+        G = ops.groups[q].shape[0]
+        I = jnp.tile(jnp.eye(q, dtype=dtype)[None], (G, 1, 1))
+        rep["soc"][q] = (I, I)
+    return rep
+
+
+@partial(jax.jit, static_argnums=(1,))
+def solve_conic_ipm(prog: ConicProgram, settings: IPMSettings = IPMSettings()
+                    ) -> SolverResult:
+    """Mehrotra predictor-corrector IPM; returns the same SolverResult
+    shape as the first-order backend (u/v unused)."""
+    ne = prog.n_eq
+    A_full = prog.A
+    b_full = prog.b
+    c = prog.c
+    n = prog.n
+    dtype = A_full.dtype
+
+    A = A_full[:ne]
+    b = b_full[:ne]
+    G = A_full[ne:]
+    h = b_full[ne:]
+    ops = _ConeOps(prog)
+    mc = ops.mc
+    nu_deg = max(ops.deg, 1)
+    e_vec = ops.e(dtype)
+
+    eps = settings.eps_reg
+    rho = settings.rho_lift
+    AtA = (A.T @ A) * rho if ne else jnp.zeros((n, n), dtype)
+
+    def kkt_factor(Wrep):
+        Gw = ops.apply_Winv_mat(Wrep, G)
+        H = Gw.T @ Gw + AtA + eps * jnp.eye(n, dtype=dtype)
+        L1 = jnp.linalg.cholesky(H)
+        if ne:
+            Hinv_At = jax.scipy.linalg.cho_solve((L1, True), A.T)
+            S = A @ Hinv_At + eps * jnp.eye(ne, dtype=dtype)
+            L2 = jnp.linalg.cholesky(S)
+        else:
+            L2 = None
+        return L1, L2
+
+    def kkt_solve(fact, Wrep, f1, f2, rz_plus_Wd):
+        """Solve the Newton system
+            A' dy + G' dz = f1,  A dx = f2,  G dx - W^2 dz = -(rz + W d)
+        via the lifted reduced form
+            (H + rho A'A + eps I) dx + A' dy = f1 - G' u3 + rho A' f2,
+        with u3 = W^-2 (rz + W d) and dz = W^-2 G dx + u3.
+        """
+        L1, L2 = fact
+        u3 = ops.apply_Winv(Wrep, ops.apply_Winv(Wrep, rz_plus_Wd))
+        r1l = f1 - G.T @ u3 + (A.T @ (rho * f2) if ne else 0.0)
+        if ne:
+            t = jax.scipy.linalg.cho_solve((L1, True), r1l)
+            dy = jax.scipy.linalg.cho_solve((L2, True), A @ t - f2)
+            dx = jax.scipy.linalg.cho_solve((L1, True), r1l - A.T @ dy)
+        else:
+            dy = jnp.zeros((0,), dtype)
+            dx = jax.scipy.linalg.cho_solve((L1, True), r1l)
+        dz = ops.apply_Winv(Wrep, ops.apply_Winv(Wrep, G @ dx)) + u3
+        return dx, dy, dz
+
+    # ---- initialization (CVXOPT conelp style, W = I) ----
+    W0 = _identity_scaling(ops, dtype)
+    fact0 = kkt_factor(W0)
+    # primal: min ||s|| s.t. Ax=b, Gx+s=h
+    dx, dy, dz = kkt_solve(fact0, W0, jnp.zeros(n, dtype), b, -h)
+    x0 = dx
+    s_cand = h - G @ x0
+    # shift into the interior (CVXOPT conelp init)
+    t_p = ops.min_shift(s_cand)
+    s0 = s_cand + jnp.where(t_p < -1e-8, 0.0, t_p + 1.0) * e_vec
+    # dual: min ||z|| s.t. A'y + G'z + c = 0
+    dx2, y0, dz2 = kkt_solve(fact0, W0, -c, jnp.zeros(ne, dtype),
+                             jnp.zeros(mc, dtype))
+    z_cand = dz2
+    t_d = ops.min_shift(z_cand)
+    z0 = z_cand + jnp.where(t_d < -1e-8, 0.0, t_d + 1.0) * e_vec
+
+    bnorm = 1.0 + jnp.linalg.norm(b_full)
+    cnorm = 1.0 + jnp.linalg.norm(c)
+
+    def body(carry, _):
+        x, y, s, z, done = carry
+
+        rx = c + (A.T @ y if ne else 0.0) + G.T @ z
+        ry = A @ x - b if ne else jnp.zeros(0, dtype)
+        rz = G @ x + s - h
+        gap = jnp.dot(s, z)
+        mu = gap / nu_deg
+
+        Wrep, lam = ops.nt_scaling(s, z)
+        fact = kkt_factor(Wrep)
+        lam_lam = ops.mul(lam, lam)
+        lam_inv = ops.inv(lam)
+
+        # affine (predictor): d = -lam  =>  rz + W d = rz - W lam = rz - s
+        dxa, dya, dza = kkt_solve(fact, Wrep, -rx, -ry, rz - s)
+        dsa = -(G @ dxa) - rz
+        a_s = ops.max_step(s, dsa)
+        a_z = ops.max_step(z, dza)
+        alpha_aff = jnp.minimum(1.0, jnp.minimum(a_s, a_z))
+        gap_aff = jnp.dot(s + alpha_aff * dsa, z + alpha_aff * dza)
+        sigma = jnp.clip((jnp.maximum(gap_aff, 0.0) /
+                          jnp.maximum(gap, 1e-30)) ** 3, 0.0, 1.0)
+
+        # corrector + centering:
+        # d = lam^-1 o (-lam o lam - (W^-1 dsa) o (W dza) + sigma mu e)
+        corr = ops.mul(ops.apply_Winv(Wrep, dsa), ops.apply_W(Wrep, dza))
+        d = ops.mul(lam_inv, -lam_lam - corr + sigma * mu * e_vec)
+        dxc, dyc, dzc = kkt_solve(fact, Wrep, -rx, -ry,
+                                  rz + ops.apply_W(Wrep, d))
+        dsc = -(G @ dxc) - rz
+        a_s = ops.max_step(s, dsc)
+        a_z = ops.max_step(z, dzc)
+        alpha = jnp.minimum(1.0, settings.step_frac *
+                            jnp.minimum(a_s, a_z))
+
+        x_n = x + alpha * dxc
+        y_n = y + alpha * dyc if ne else y
+        s_n = s + alpha * dsc
+        z_n = z + alpha * dzc
+
+        pres = jnp.sqrt(jnp.sum(ry ** 2) + jnp.sum(rz ** 2)) / bnorm
+        dres = jnp.linalg.norm(rx) / cnorm
+        conv = (pres < settings.eps_feas) & (dres < settings.eps_feas) & \
+               (jnp.abs(gap) / nu_deg < settings.eps_feas)
+        # freeze on any numerical blowup (NT scaling degenerates once the
+        # iterate touches the boundary post-convergence): keep last good
+        finite = (jnp.all(jnp.isfinite(x_n)) & jnp.all(jnp.isfinite(s_n))
+                  & jnp.all(jnp.isfinite(z_n)))
+        if ne:
+            finite = finite & jnp.all(jnp.isfinite(y_n))
+        done_n = done | conv | jnp.logical_not(finite)
+
+        keep = jnp.logical_not(done) & finite
+        x = jnp.where(keep, x_n, x)
+        y = jnp.where(keep, y_n, y) if ne else y
+        s = jnp.where(keep, s_n, s)
+        z = jnp.where(keep, z_n, z)
+        return (x, y, s, z, done_n), None
+
+    carry0 = (x0, y0, s0, z0, jnp.asarray(False))
+    (x, y, s, z, _), _ = jax.lax.scan(body, carry0, None,
+                                      length=settings.iters)
+
+    y_full = jnp.concatenate([y, z]) if ne else z
+    s_full = jnp.concatenate([jnp.zeros(ne, dtype), s]) if ne else s
+    obj = c @ x
+    res_pri = jnp.linalg.norm(A_full @ x + s_full - b_full) / bnorm
+    res_dua = jnp.linalg.norm(A_full.T @ y_full + c) / cnorm
+    by = b_full @ y_full
+    res_gap = jnp.abs(obj + by) / (1.0 + jnp.abs(obj) + jnp.abs(by))
+    zero = jnp.zeros((), dtype)
+    return SolverResult(x=x, y=y_full, s=s_full, obj=obj,
+                        res_pri=res_pri, res_dua=res_dua, res_gap=res_gap,
+                        tau=jnp.ones((), dtype), kappa=zero,
+                        u=jnp.zeros(1, dtype), v=jnp.zeros(1, dtype))

@@ -1,6 +1,5 @@
-"""End-to-end SCvx on Rocket2D: progress, dynamic feasibility trend, and
-batching. Tightened to full convergence criteria once the IPM backend lands
-(SURVEY §7 step 4 acceptance)."""
+"""End-to-end SCvx on Rocket2D (SURVEY §7 step 4 acceptance): convergence,
+dynamic feasibility, constraint satisfaction, batching."""
 
 import jax
 import jax.numpy as jnp
@@ -11,58 +10,82 @@ from scpp_tpu.algos.common import interval_resimulation
 from scpp_tpu.algos.scvx import solve_scvx
 from scpp_tpu.configs.algorithms import SCvxConfig
 from scpp_tpu.models import Rocket2D
-from scpp_tpu.solver.scs import SolverSettings
+from scpp_tpu.solver.ipm import IPMSettings
 
 
 @pytest.fixture(scope="module")
 def scvx_result():
-    cfg = SCvxConfig(K=20, max_iterations=12, solve_budget=16,
-                     nondimensionalize=True,
-                     solver=SolverSettings(iters=3000))
+    # final_time=16 s is dynamically reachable (the stock 12 s is not at
+    # fixed final time; SC's free sigma handles that case instead)
+    cfg = SCvxConfig(K=20, max_iterations=25, solve_budget=35,
+                     nondimensionalize=True, change_threshold=1e-6)
     p = Rocket2D.default_params()
+    p = p.replace(final_time=jnp.asarray(16.0))
     res = solve_scvx(Rocket2D, p, cfg)
     return cfg, p, res
 
 
-def test_scvx_progress(scvx_result):
-    """Nonlinear defect cost decreases by >10x from the initial guess and
-    the final state approaches the target."""
+def test_scvx_converges(scvx_result):
     cfg, p, res = scvx_result
+    assert bool(res.converged)
+    assert float(res.max_residual) < 1e-8
     J = np.asarray(res.nonlinear_cost)
-    assert J[-1] < J[0] / 10.0, f"J history {J}"
-    assert float(res.max_residual) < 5e-3
-    assert int(res.iterations) >= 5
-
-    # final state near target (nondimensional tolerance ~ 1e-2)
-    X = np.asarray(res.td.X)
-    xf = np.asarray(p.x_final)
-    r_scale = float(jnp.linalg.norm(p.x_init[:2]))
-    assert np.linalg.norm((X[-1][:4] - xf[:4]) / r_scale) < 5e-2
-    assert abs(X[-1][4] - xf[4]) < 1e-2
+    assert J[-1] < 1e-5, f"final nonlinear cost {J[-1]}"
 
 
-def test_scvx_near_dynamically_feasible(scvx_result):
+def test_scvx_trajectory_dynamically_feasible(scvx_result):
+    """Converged trajectory satisfies the *nonlinear* dynamics: resimulated
+    interval defects are tiny in dimensional units (defect analog of
+    SCAlgorithm.cpp:234-253)."""
     cfg, p, res = scvx_result
     par = Rocket2D.param_vector(p)
     x_end = interval_resimulation(Rocket2D, par, res.td, substeps=16)
-    # nondimensional defect scale
-    r_scale = float(jnp.linalg.norm(p.x_init[:2]))
-    defects = np.max(np.abs(np.asarray(x_end - res.td.X[1:])), axis=1) / r_scale
-    assert np.max(defects) < 5e-2, f"defects {defects}"
+    defects = np.max(np.abs(np.asarray(x_end - res.td.X[1:])), axis=1)
+    assert np.max(defects) < 1e-3, f"defects {defects}"
+
+
+def test_scvx_boundary_and_path_constraints(scvx_result):
+    cfg, p, res = scvx_result
+    X = np.asarray(res.td.X)
+    U = np.asarray(res.td.U)
+    tol = 1e-5
+    np.testing.assert_allclose(X[0], np.asarray(p.x_init), atol=tol)
+    np.testing.assert_allclose(X[-1], np.asarray(p.x_final), atol=tol)
+    assert np.all(U[:, 1] >= float(p.T_min) - 1.0)
+    assert np.all(U[:, 1] <= float(p.T_max) + 1.0)
+    assert np.all(np.abs(U[:, 0]) <= float(p.gimbal_max) + tol)
+    assert np.all(np.abs(X[:, 4]) <= float(p.theta_max) + tol)
+    assert np.all(np.abs(X[:, 5]) <= float(p.w_B_max) + tol)
+    assert np.all(np.abs(X[:, 0]) <= np.tan(float(p.gamma_gs)) * X[:, 1] + 1e-3)
+    assert abs(U[-1, 0]) < tol
+
+
+def test_scvx_infeasible_final_time_yields_virtual_control():
+    """At the stock (infeasible) 12 s fixed final time, SCvx converges to a
+    nonzero stationary virtual control that measures the infeasibility —
+    no crash, no divergence (per-scenario robustness, SURVEY §5)."""
+    cfg = SCvxConfig(K=12, max_iterations=12, solve_budget=16,
+                     nondimensionalize=True)
+    p = Rocket2D.default_params()
+    res = solve_scvx(Rocket2D, p, cfg)
+    J = np.asarray(res.nonlinear_cost)
+    assert np.all(np.isfinite(J))
+    assert J[-1] < J[0]
+    assert float(res.max_residual) < 1e-6
 
 
 def test_scvx_vmapped_scenarios():
     """Batched solves over dispersed initial states stay independent:
-    batch results match the corresponding single solves."""
-    cfg = SCvxConfig(K=10, max_iterations=5, solve_budget=6,
+    batch results match the corresponding single solves bitwise-close."""
+    cfg = SCvxConfig(K=10, max_iterations=6, solve_budget=8,
                      nondimensionalize=True,
-                     solver=SolverSettings(iters=600))
+                     solver=IPMSettings(iters=20))
     p = Rocket2D.default_params()
-
     offsets = jnp.asarray([0.0, 10.0, -15.0])
 
     def one(dx):
-        pp = p.replace(x_init=p.x_init.at[0].add(dx))
+        pp = p.replace(x_init=p.x_init.at[0].add(dx),
+                       final_time=jnp.asarray(16.0))
         return solve_scvx(Rocket2D, pp, cfg).td.X
 
     batched = jax.vmap(one)(offsets)
