@@ -1,0 +1,202 @@
+"""SC: free-final-time successive convexification with soft trust regions.
+
+Behavioral parity with the reference SCAlgorithm/SCProblem
+(scpp_core/src/SCAlgorithm.cpp:14-253, SCProblem.cpp:6-140), the
+Szmuk/Acikmese-style algorithm behind SC_oneshot/SC_sim:
+
+  - time normalized to [0, 1]; sigma (the final time) is a variable that
+    scales the dynamics, entering the linearized constraint through the
+    s_k column (SCProblem.cpp:53-56),
+  - L1 virtual control with weight w_nu,
+  - sigma trust region (sigma - sigma0)^2 <= delta_sigma as a rotated
+    SOC (SCProblem.cpp:79-101),
+  - per-node combined state+input 2-norm trust region <= delta_k
+    (SCProblem.cpp:103-126),
+  - cost = w_t sigma + w_nu ||nu||_1 + w_sigma delta_sigma + w_tr sum delta,
+  - w_tr doubles whenever ||nu||_1 < nu_tol (SCAlgorithm.cpp:112-115),
+  - converged iff sum delta < delta_tol and ||nu||_1 < nu_tol
+    (SCAlgorithm.cpp:131).
+
+TPU-native redesign mirrors algos/scvx.py: the whole solve is one jitted
+``lax.scan`` over max_iterations with convergence masking, so scenario
+batches run in lockstep under vmap. Solver failure becomes a per-scenario
+residual diagnostic instead of std::terminate (SCAlgorithm.cpp:94-98).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from scpp_tpu.algos.common import interval_resimulation, tree_select
+from scpp_tpu.configs.algorithms import SCConfig
+from scpp_tpu.ops.discretization import multiple_shooting
+from scpp_tpu.solver import Aff, ConeProblemBuilder, concat, solve
+from scpp_tpu.trajectory import DiscretizationData, TrajectoryData
+
+__all__ = ["SCResult", "solve_sc", "build_sc_subproblem"]
+
+
+@struct.dataclass
+class SCResult:
+    td: TrajectoryData
+    converged: jnp.ndarray
+    iterations: jnp.ndarray
+    # per-iteration history (max_iterations entries)
+    all_X: jnp.ndarray
+    all_U: jnp.ndarray
+    all_t: jnp.ndarray
+    norm1_nu: jnp.ndarray
+    sum_delta: jnp.ndarray
+    delta_sigma: jnp.ndarray
+    defect_pattern: jnp.ndarray   # (iters, K-1) bool, SCAlgorithm.cpp:234-253
+    max_residual: jnp.ndarray
+
+
+def build_sc_subproblem(model, params, td: TrajectoryData,
+                        dd: DiscretizationData, weights, ref,
+                        free_final_time: bool):
+    """The SC convex subproblem (SCProblem.cpp:6-140 + model constraints).
+
+    ``weights`` = (w_time, w_tr_time, w_tr_traj, w_nu) as traced scalars.
+    """
+    w_time, w_tr_time, w_tr_traj, w_nu = weights
+    K = td.n_X
+    n_U = td.n_U
+    n, m = model.state_dim, model.input_dim
+    foh = td.interpolated_input
+
+    pb = ConeProblemBuilder()
+    X = pb.add_variable("X", K, n)
+    U = pb.add_variable("U", n_U, m)
+    nu = pb.add_variable("nu", K - 1, n)
+    nub = pb.add_variable("nu_bound", K - 1, n)
+    norm1 = pb.add_variable("norm1_nu")
+    delta = pb.add_variable("delta", K)
+    if free_final_time:
+        sigma = pb.add_variable("sigma")
+        dsigma = pb.add_variable("delta_sigma")
+        # minimize total time; sigma >= 0.001 (SCProblem.cpp:32-34)
+        pb.add_cost(sigma[...] * w_time)
+        pb.add_nonneg(sigma[...] - 0.001)
+
+    # linearized dynamics (SCProblem.cpp:37-59)
+    for k in range(K - 1):
+        lhs = (X.place(dd.A[k], k) + U.place(dd.B[k], k)
+               + nu[k] - X[k + 1] + dd.z[k])
+        if foh:
+            lhs = lhs + U.place(dd.C[k], k + 1)
+        if free_final_time:
+            # s_k column times the scalar sigma variable
+            lhs = lhs + sigma.place(dd.s[k][:, None])
+        pb.add_eq(lhs)
+
+    # L1 virtual control (SCProblem.cpp:61-77)
+    pb.add_nonneg(nub[...] - nu[...])
+    pb.add_nonneg(nu[...] + nub[...])
+    pb.add_nonneg(norm1[...] - nub[...].sum())
+    pb.add_cost(norm1[...] * w_nu)
+
+    if free_final_time:
+        # sigma trust region (sigma - sigma0)^2 <= delta_sigma as
+        # || [0.5 - 0.5 dsigma; sigma0 - sigma] || <= 0.5 + 0.5 dsigma
+        # (SCProblem.cpp:79-101)
+        t_aff = dsigma[...] * 0.5 + 0.5
+        z_aff = concat([dsigma[...] * (-0.5) + 0.5,
+                        -sigma[...] + td.t])
+        pb.add_soc(t_aff, z_aff)
+        pb.add_cost(dsigma[...] * w_tr_time)
+
+    # per-node combined state+input trust region (SCProblem.cpp:103-126)
+    for k in range(K):
+        parts = [X[k] - td.X[k]]
+        if foh or k < K - 1:
+            parts.append(U[k] - td.U[k])
+        pb.add_soc(delta[k], concat(parts))
+    pb.add_cost(delta[...].sum() * w_tr_traj)
+
+    model.constraints(pb, X, U, params, ref)
+    return pb.build(td.X.dtype)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def solve_sc(model, params, cfg: SCConfig = SCConfig(),
+             warm_td: TrajectoryData = None) -> SCResult:
+    """Full SC solve as one jitted function (SCAlgorithm.cpp:134-189)."""
+    if cfg.nondimensionalize:
+        params = model.nondimensionalize(params)
+    par = model.param_vector(params)
+
+    if warm_td is None:
+        td0 = model.init_trajectory(params, cfg.K, cfg.interpolate_input)
+    else:
+        td0 = (model.scale_trajectory(params, warm_td)
+               if cfg.nondimensionalize else warm_td)
+
+    ref = model.constraint_ref(params, td0)
+    dtype = td0.X.dtype
+    fft = cfg.free_final_time
+
+    def step(carry, _):
+        td, w_tr, iters, converged, done = carry
+
+        dd = multiple_shooting(model, par, td, substeps=cfg.substeps,
+                               method=cfg.integrator, variable_time=fft)
+        weights = (jnp.asarray(cfg.weight_time, dtype),
+                   jnp.asarray(cfg.weight_trust_region_time, dtype),
+                   w_tr,
+                   jnp.asarray(cfg.weight_virtual_control, dtype))
+        prog = build_sc_subproblem(model, params, td, dd, weights, ref, fft)
+        res = solve(prog, cfg.solver)
+
+        new_t = prog.extract(res.x, "sigma") if fft else td.t
+        new_td = td.replace(X=prog.extract(res.x, "X"),
+                            U=prog.extract(res.x, "U"),
+                            t=new_t)
+        norm1 = prog.extract(res.x, "norm1_nu")
+        sum_delta = jnp.sum(prog.extract(res.x, "delta"))
+        dsig = prog.extract(res.x, "delta_sigma") if fft \
+            else jnp.zeros((), dtype)
+
+        # defect pattern diagnostic (SCAlgorithm.cpp:234-253)
+        x_end = interval_resimulation(model, par, new_td, cfg.sim_substeps,
+                                      cfg.integrator)
+        defects = jnp.sum((x_end - new_td.X[1:]) ** 2, axis=1) > cfg.nu_tol
+
+        # adapt trust-region weight (SCAlgorithm.cpp:112-115)
+        w_tr_new = jnp.where(norm1 < cfg.nu_tol, w_tr * 2.0, w_tr)
+
+        conv_now = (sum_delta < cfg.delta_tol) & (norm1 < cfg.nu_tol)
+
+        keep = jnp.logical_not(done)
+        td_next = tree_select(keep, new_td, td)
+        w_tr_next = jnp.where(keep, w_tr_new, w_tr)
+        iters_next = iters + jnp.where(keep, 1, 0)
+        converged_next = converged | (conv_now & keep)
+        done_next = done | conv_now
+
+        out = (td_next.X, td_next.U, td_next.t, norm1, sum_delta, dsig,
+               defects,
+               jnp.maximum(res.res_pri, res.res_dua))
+        return (td_next, w_tr_next, iters_next, converged_next, done_next), out
+
+    carry0 = (td0, jnp.asarray(cfg.weight_trust_region_trajectory, dtype),
+              jnp.asarray(0, jnp.int32), jnp.asarray(False),
+              jnp.asarray(False))
+    (td, _, iters, converged, _), ys = jax.lax.scan(
+        step, carry0, None, length=cfg.max_iterations)
+    all_X, all_U, all_t, norm1s, sum_deltas, dsigs, defect_patterns, resids = ys
+
+    if cfg.nondimensionalize:
+        td = model.unscale_trajectory(params, td)
+
+    return SCResult(
+        td=td, converged=converged, iterations=iters,
+        all_X=all_X, all_U=all_U, all_t=all_t,
+        norm1_nu=norm1s, sum_delta=sum_deltas, delta_sigma=dsigs,
+        defect_pattern=defect_patterns,
+        max_residual=jnp.max(resids),
+    )

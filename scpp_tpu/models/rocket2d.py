@@ -160,6 +160,15 @@ class Rocket2D:
         pb.add_nonneg(v_U[:, 1] - p.T_min)
         pb.add_nonneg(p.T_max - v_U[:, 1])
 
+    @staticmethod
+    def clamp_input(p: Rocket2DParams, u):
+        """Project an unconstrained controller output into the physical
+        input set (the LQR_sim.cpp:55-66 pattern for the planar model)."""
+        return jnp.stack([
+            jnp.clip(u[0], -p.gimbal_max, p.gimbal_max),
+            jnp.clip(u[1], p.T_min, p.T_max),
+        ])
+
     # ---- nondimensionalization (rocket2d.cpp:197-232) ----
 
     @staticmethod

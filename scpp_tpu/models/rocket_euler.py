@@ -194,6 +194,19 @@ class RocketEuler:
             pb.add_eq(v_U[:, 3])
 
     @staticmethod
+    def clamp_input(p: RocketEulerParams, u):
+        """Clamp into the thrust cone (same pattern as RocketQuat)."""
+        tz = jnp.maximum(u[2], p.T_min)
+        txy = u[:2]
+        cone = jnp.tan(p.gimbal_max) * tz
+        nxy = jnp.linalg.norm(txy)
+        txy = jnp.where(nxy > cone, txy * (cone / jnp.maximum(nxy, 1e-30)), txy)
+        T = jnp.concatenate([txy, tz[None]])
+        nT = jnp.linalg.norm(T)
+        T = jnp.where(nT > p.T_max, T * (p.T_max / nT), T)
+        return jnp.concatenate([T, u[3:4]])
+
+    @staticmethod
     def _state_scale(m_scale, r_scale, dtype):
         return jnp.concatenate([
             m_scale[None].astype(dtype) if m_scale.ndim == 0 else m_scale,

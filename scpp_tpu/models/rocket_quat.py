@@ -225,6 +225,20 @@ class RocketQuat:
             pb.add_eq(v_X[:, 13])
             pb.add_eq(v_U[:, 3])
 
+    @staticmethod
+    def clamp_input(p: RocketQuatParams, u):
+        """Clamp a controller output into the thrust cone
+        (LQR_sim.cpp:55-66): T_z >= T_min, gimbal cone, ||T|| <= T_max."""
+        tz = jnp.maximum(u[2], p.T_min)
+        txy = u[:2]
+        cone = jnp.tan(p.gimbal_max) * tz
+        nxy = jnp.linalg.norm(txy)
+        txy = jnp.where(nxy > cone, txy * (cone / jnp.maximum(nxy, 1e-30)), txy)
+        T = jnp.concatenate([txy, tz[None]])
+        nT = jnp.linalg.norm(T)
+        T = jnp.where(nT > p.T_max, T * (p.T_max / nT), T)
+        return jnp.concatenate([T, u[3:4]])
+
     # ---- nondimensionalization (rocketQuat.cpp:291-332) ----
 
     @staticmethod

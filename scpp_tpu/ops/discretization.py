@@ -87,6 +87,13 @@ def multiple_shooting(model, par, td: TrajectoryData, sigma=None,
     explicitly keeps the four reference variants (discretization.cpp:42-55)
     selectable.
     """
+    with jax.default_matmul_precision("highest"):
+        return _multiple_shooting_impl(model, par, td, sigma, substeps,
+                                       method, variable_time)
+
+
+def _multiple_shooting_impl(model, par, td, sigma, substeps, method,
+                            variable_time):
     if variable_time is None:
         variable_time = True
     interpolate_input = td.interpolated_input

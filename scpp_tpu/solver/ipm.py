@@ -246,6 +246,14 @@ def solve_conic_ipm(prog: ConicProgram, settings: IPMSettings = IPMSettings()
                     ) -> SolverResult:
     """Mehrotra predictor-corrector IPM; returns the same SolverResult
     shape as the first-order backend (u/v unused)."""
+    # fp32 on TPU: MXU matmuls default to bf16 passes, which destroys the
+    # KKT factorizations — force full-precision accumulation throughout.
+    with jax.default_matmul_precision("highest"):
+        return _solve_conic_ipm_impl(prog, settings)
+
+
+def _solve_conic_ipm_impl(prog: ConicProgram, settings: IPMSettings
+                          ) -> SolverResult:
     ne = prog.n_eq
     A_full = prog.A
     b_full = prog.b

@@ -166,6 +166,13 @@ def _ruiz(A, prog: ConicProgram, groups, iters: int):
 def solve_conic(prog: ConicProgram, settings: SolverSettings = SolverSettings(),
                 warm: "SolverResult" = None) -> SolverResult:
     """Solve min c'x s.t. Ax + s = b, s in K. Pure jnp; jit/vmap friendly."""
+    # full-precision matmuls: fp32-on-TPU otherwise runs bf16 MXU passes
+    with jax.default_matmul_precision("highest"):
+        return _solve_conic_impl(prog, settings, warm)
+
+
+def _solve_conic_impl(prog: ConicProgram, settings: SolverSettings,
+                      warm: "SolverResult") -> SolverResult:
     A0, b0, c0 = prog.A, prog.b, prog.c
     m, n = A0.shape
     dtype = A0.dtype

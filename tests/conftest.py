@@ -18,3 +18,6 @@ import jax  # noqa: E402
 # alone is not enough — override the config after import.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: repeated suite runs skip recompilation
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

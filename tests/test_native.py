@@ -1,0 +1,65 @@
+"""Native C++ runtime components: independent integrator oracle and INFO
+parser, cross-validated against the JAX implementations."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scpp_tpu.models import Rocket2D, RocketQuat
+from scpp_tpu.native import (
+    native_available, parse_info_native, simulate_native,
+)
+from scpp_tpu.ops.simulation import simulate
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native library not built")
+
+
+def test_rocket2d_jax_matches_cpp_oracle():
+    """JAX flow map + fixed-step scan vs independent C++ dynamics +
+    adaptive embedded RK: agreement far below the 1e-3 parity budget."""
+    p = Rocket2D.default_params()
+    par = np.asarray(Rocket2D.param_vector(p))
+    x0 = np.asarray(p.x_init)
+    u0 = np.array([0.05, 260000.0])
+    u1 = np.array([-0.02, 240000.0])
+    x_cpp, steps = simulate_native("Rocket2D", par, x0, u0, u1, 0.5)
+    assert steps > 1
+    x_jax = simulate(Rocket2D, jnp.asarray(par), 0.5, jnp.asarray(u0),
+                     jnp.asarray(u1), jnp.asarray(x0), substeps=16)
+    np.testing.assert_allclose(np.asarray(x_jax), x_cpp, rtol=1e-9,
+                               atol=1e-10)
+
+
+def test_rocketquat_jax_matches_cpp_oracle():
+    p = RocketQuat.default_params()
+    par = np.asarray(RocketQuat.param_vector(p))
+    x0 = np.asarray(p.x_init)
+    u0 = np.array([20000.0, -10000.0, 300000.0, 0.0])
+    u1 = np.array([15000.0, -5000.0, 280000.0, 0.0])
+    x_cpp, _ = simulate_native("RocketQuat", par, x0, u0, u1, 1.0)
+    x_jax = simulate(RocketQuat, jnp.asarray(par), 1.0, jnp.asarray(u0),
+                     jnp.asarray(u1), jnp.asarray(x0), substeps=24)
+    np.testing.assert_allclose(np.asarray(x_jax), x_cpp, rtol=1e-8,
+                               atol=1e-9)
+
+
+def test_native_info_parser_matches_python():
+    import os
+
+    from scpp_tpu.utils.info_parser import InfoFile
+    ref = "/root/reference/scpp_models/config/Rocket2D/model.info"
+    if not os.path.exists(ref):
+        pytest.skip("reference configs not present")
+    flat = parse_info_native(ref)
+    py = InfoFile(ref)
+    assert float(flat["m"]) == py.load_scalar("m")
+    assert float(flat["g_I.(1)"]) == -9.81
+    assert flat["constrain_initial_final"] == "true"
+
+
+def test_native_info_parser_rejects_malformed(tmp_path):
+    bad = tmp_path / "bad.info"
+    bad.write_text("a {\n b 1\n")  # unbalanced
+    with pytest.raises(ValueError):
+        parse_info_native(str(bad))
