@@ -46,6 +46,11 @@ class SolverSettings:
     alpha: float = struct.field(pytree_node=False, default=1.5)   # over-relaxation
     eps: float = struct.field(pytree_node=False, default=1e-6)    # residual target
     warm_start: bool = struct.field(pytree_node=False, default=False)
+    # Anderson acceleration (type-II with growth-reset safeguard, as in
+    # SCS 2.x): memory 0 disables
+    aa_memory: int = struct.field(pytree_node=False, default=10)
+    aa_reg: float = struct.field(pytree_node=False, default=1e-8)
+    aa_safeguard: float = struct.field(pytree_node=False, default=2.0)
 
 
 @struct.dataclass
@@ -210,8 +215,11 @@ def _solve_conic_impl(prog: ConicProgram, settings: SolverSettings,
 
     alpha = settings.alpha
 
-    def iteration(carry, _):
-        u, v = carry
+    L = n + m + 1
+
+    def T(wvec):
+        """One Douglas-Rachford application on the stacked (u, v) state."""
+        u, v = wvec[:L], wvec[L:]
         w = u + v
         z2x, z2y = lin_solve(w[:n], w[n:n + m])
         tau_t = (w[-1] + c @ z2x + b @ z2y) / denom
@@ -221,15 +229,68 @@ def _solve_conic_impl(prog: ConicProgram, settings: SolverSettings,
         u_r = alpha * u_t + (1.0 - alpha) * u
         u_new = proj_C(u_r - v)
         v_new = v - u_r + u_new
-        return (u_new, v_new), None
+        return jnp.concatenate([u_new, v_new])
 
     if settings.warm_start and warm is not None:
         u0, v0 = warm.u, warm.v
     else:
-        u0 = jnp.zeros(n + m + 1, dtype).at[-1].set(1.0)
-        v0 = jnp.zeros(n + m + 1, dtype).at[-1].set(1.0)
+        u0 = jnp.zeros(L, dtype).at[-1].set(1.0)
+        v0 = jnp.zeros(L, dtype).at[-1].set(1.0)
+    w0 = jnp.concatenate([u0, v0])
 
-    (u, v), _ = jax.lax.scan(iteration, (u0, v0), None, length=settings.iters)
+    M = settings.aa_memory
+    if M == 0:
+        def iteration(wc, _):
+            return T(wc), None
+
+        w_final, _ = jax.lax.scan(iteration, w0, None, length=settings.iters)
+    else:
+        # Anderson acceleration (type II) on the DR fixed-point map with a
+        # growth-reset safeguard (SCS 2.x style): when the residual grows
+        # by more than `aa_safeguard`x, take a plain step and clear history.
+        N2 = 2 * L
+
+        def iteration(carry, _):
+            wc, w_prev, g_prev, gnorm_prev, S, Y, cnt = carry
+            Tw = T(wc)
+            g = Tw - wc
+            gnorm = jnp.linalg.norm(g)
+
+            grew = gnorm > settings.aa_safeguard * gnorm_prev
+            do_reset = jnp.logical_and(cnt > 0, grew)
+            cnt_eff = jnp.where(do_reset, 0, cnt)
+
+            row = jnp.maximum(cnt_eff - 1, 0) % M
+            dw = wc - w_prev
+            dg = g - g_prev
+            update_hist = cnt_eff > 0
+            S2 = jnp.where(update_hist, S.at[row].set(dw), S)
+            Y2 = jnp.where(update_hist, Y.at[row].set(dg), Y)
+
+            m_eff = jnp.minimum(cnt_eff, M)
+            valid = (jnp.arange(M) < m_eff).astype(dtype)
+            Yv = Y2 * valid[:, None]
+            G = Yv @ Yv.T + settings.aa_reg * (1.0 + gnorm * gnorm) * \
+                jnp.eye(M, dtype=dtype)
+            gamma = jnp.linalg.solve(G, Yv @ g) * valid
+            w_aa = wc + g - (S2 + Y2).T @ gamma
+
+            use_aa = jnp.logical_and(cnt_eff > 0,
+                                     jnp.all(jnp.isfinite(w_aa)))
+            w_next = jnp.where(use_aa, w_aa, Tw)
+            return (w_next, wc, g, gnorm, S2, Y2, cnt_eff + 1), None
+
+        carry0 = (w0, w0, jnp.zeros(N2, dtype),
+                  jnp.asarray(jnp.inf, dtype),
+                  jnp.zeros((M, N2), dtype), jnp.zeros((M, N2), dtype),
+                  jnp.asarray(0, jnp.int32))
+        (w_final, *_), _ = jax.lax.scan(iteration, carry0, None,
+                                        length=settings.iters)
+        # one final plain DR application guarantees the iterate is a
+        # proper projection output (AA steps may leave the cone slightly)
+        w_final = T(w_final)
+
+    u, v = w_final[:L], w_final[L:]
 
     # ---- recover unscaled solution ----
     tau = u[-1]
