@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from scpp_tpu.algos.common import interval_resimulation, tree_select
+from scpp_tpu.algos.scvx import extract_norm1_nu
 from scpp_tpu.configs.algorithms import SCConfig
 from scpp_tpu.ops.discretization import multiple_shooting
 from scpp_tpu.solver import Aff, ConeProblemBuilder, concat, solve
@@ -58,10 +59,12 @@ class SCResult:
 
 def build_sc_subproblem(model, params, td: TrajectoryData,
                         dd: DiscretizationData, weights, ref,
-                        free_final_time: bool):
+                        free_final_time: bool, l1_split: bool = True):
     """The SC convex subproblem (SCProblem.cpp:6-140 + model constraints).
 
     ``weights`` = (w_time, w_tr_time, w_tr_traj, w_nu) as traced scalars.
+    ``l1_split`` selects the nu = nu+ - nu- L1 encoding (identical optimum,
+    fewer variables) over the reference's bound+sum epigraph.
     """
     w_time, w_tr_time, w_tr_traj, w_nu = weights
     K = td.n_X
@@ -72,9 +75,13 @@ def build_sc_subproblem(model, params, td: TrajectoryData,
     pb = ConeProblemBuilder()
     X = pb.add_variable("X", K, n)
     U = pb.add_variable("U", n_U, m)
-    nu = pb.add_variable("nu", K - 1, n)
-    nub = pb.add_variable("nu_bound", K - 1, n)
-    norm1 = pb.add_variable("norm1_nu")
+    if l1_split:
+        nup = pb.add_variable("nu_pos", K - 1, n)
+        nun = pb.add_variable("nu_neg", K - 1, n)
+    else:
+        nu = pb.add_variable("nu", K - 1, n)
+        nub = pb.add_variable("nu_bound", K - 1, n)
+        norm1 = pb.add_variable("norm1_nu")
     delta = pb.add_variable("delta", K)
     if free_final_time:
         sigma = pb.add_variable("sigma")
@@ -86,7 +93,8 @@ def build_sc_subproblem(model, params, td: TrajectoryData,
     # linearized dynamics (SCProblem.cpp:37-59)
     for k in range(K - 1):
         lhs = (X.place(dd.A[k], k) + U.place(dd.B[k], k)
-               + nu[k] - X[k + 1] + dd.z[k])
+               - X[k + 1] + dd.z[k])
+        lhs = lhs + (nup[k] - nun[k] if l1_split else nu[k])
         if foh:
             lhs = lhs + U.place(dd.C[k], k + 1)
         if free_final_time:
@@ -95,10 +103,15 @@ def build_sc_subproblem(model, params, td: TrajectoryData,
         pb.add_eq(lhs)
 
     # L1 virtual control (SCProblem.cpp:61-77)
-    pb.add_nonneg(nub[...] - nu[...])
-    pb.add_nonneg(nu[...] + nub[...])
-    pb.add_nonneg(norm1[...] - nub[...].sum())
-    pb.add_cost(norm1[...] * w_nu)
+    if l1_split:
+        pb.add_nonneg(nup[...])
+        pb.add_nonneg(nun[...])
+        pb.add_cost((nup[...].sum() + nun[...].sum()) * w_nu)
+    else:
+        pb.add_nonneg(nub[...] - nu[...])
+        pb.add_nonneg(nu[...] + nub[...])
+        pb.add_nonneg(norm1[...] - nub[...].sum())
+        pb.add_cost(norm1[...] * w_nu)
 
     if free_final_time:
         # sigma trust region (sigma - sigma0)^2 <= delta_sigma as
@@ -149,14 +162,15 @@ def solve_sc(model, params, cfg: SCConfig = SCConfig(),
                    jnp.asarray(cfg.weight_trust_region_time, dtype),
                    w_tr,
                    jnp.asarray(cfg.weight_virtual_control, dtype))
-        prog = build_sc_subproblem(model, params, td, dd, weights, ref, fft)
+        prog = build_sc_subproblem(model, params, td, dd, weights, ref, fft,
+                                   cfg.l1_split)
         res = solve(prog, cfg.solver)
 
         new_t = prog.extract(res.x, "sigma") if fft else td.t
         new_td = td.replace(X=prog.extract(res.x, "X"),
                             U=prog.extract(res.x, "U"),
                             t=new_t)
-        norm1 = prog.extract(res.x, "norm1_nu")
+        norm1 = extract_norm1_nu(prog, res.x, cfg.l1_split)
         sum_delta = jnp.sum(prog.extract(res.x, "delta"))
         dsig = prog.extract(res.x, "delta_sigma") if fft \
             else jnp.zeros((), dtype)
@@ -171,7 +185,14 @@ def solve_sc(model, params, cfg: SCConfig = SCConfig(),
 
         conv_now = (sum_delta < cfg.delta_tol) & (norm1 < cfg.nu_tol)
 
-        keep = jnp.logical_not(done)
+        # per-scenario failure masking (SURVEY §5): freeze on non-finite
+        # subproblem output instead of the reference's std::terminate
+        step_ok = (jnp.all(jnp.isfinite(new_td.X))
+                   & jnp.all(jnp.isfinite(new_td.U))
+                   & jnp.isfinite(new_t))
+        conv_now = conv_now & step_ok
+
+        keep = jnp.logical_not(done) & step_ok
         td_next = tree_select(keep, new_td, td)
         w_tr_next = jnp.where(keep, w_tr_new, w_tr)
         iters_next = iters + jnp.where(keep, 1, 0)

@@ -59,8 +59,15 @@ class SCvxResult:
 
 def build_scvx_subproblem(model, params, td: TrajectoryData,
                           dd: DiscretizationData, trust_region, weight_nu,
-                          ref):
-    """The SCvx convex subproblem (SCvxProblem.cpp:6-73 + model constraints)."""
+                          ref, l1_split: bool = True):
+    """The SCvx convex subproblem (SCvxProblem.cpp:6-73 + model constraints).
+
+    ``l1_split=True`` encodes the L1 virtual-control penalty with the
+    standard positive/negative split nu = nu+ - nu- (24% fewer variables
+    and rows than the reference's bound+sum epigraph chain; identical
+    optimum and identical ||nu||_1 value at the solution). ``False``
+    reproduces the reference's nu_bound/norm1_nu encoding verbatim.
+    """
     K = td.n_X
     n_U = td.n_U
     n, m = model.state_dim, model.input_dim
@@ -69,23 +76,33 @@ def build_scvx_subproblem(model, params, td: TrajectoryData,
     pb = ConeProblemBuilder()
     X = pb.add_variable("X", K, n)
     U = pb.add_variable("U", n_U, m)
-    nu = pb.add_variable("nu", K - 1, n)
-    nub = pb.add_variable("nu_bound", K - 1, n)
-    norm1 = pb.add_variable("norm1_nu")
+    if l1_split:
+        nup = pb.add_variable("nu_pos", K - 1, n)
+        nun = pb.add_variable("nu_neg", K - 1, n)
+    else:
+        nu = pb.add_variable("nu", K - 1, n)
+        nub = pb.add_variable("nu_bound", K - 1, n)
+        norm1 = pb.add_variable("norm1_nu")
 
     # linearized dynamics x_{k+1} = A x_k + B u_k (+ C u_{k+1}) + z + nu
     for k in range(K - 1):
         lhs = (X.place(dd.A[k], k) + U.place(dd.B[k], k)
-               + nu[k] - X[k + 1] + dd.z[k])
+               - X[k + 1] + dd.z[k])
+        lhs = lhs + (nup[k] - nun[k] if l1_split else nu[k])
         if foh:
             lhs = lhs + U.place(dd.C[k], k + 1)
         pb.add_eq(lhs)
 
-    # L1 virtual-control epigraph
-    pb.add_nonneg(nub[...] - nu[...])
-    pb.add_nonneg(nu[...] + nub[...])
-    pb.add_nonneg(norm1[...] - nub[...].sum())
-    pb.add_cost(norm1[...] * weight_nu)
+    if l1_split:
+        pb.add_nonneg(nup[...])
+        pb.add_nonneg(nun[...])
+        pb.add_cost((nup[...].sum() + nun[...].sum()) * weight_nu)
+    else:
+        # reference L1 epigraph (SCvxProblem.cpp:40-56)
+        pb.add_nonneg(nub[...] - nu[...])
+        pb.add_nonneg(nu[...] + nub[...])
+        pb.add_nonneg(norm1[...] - nub[...].sum())
+        pb.add_cost(norm1[...] * weight_nu)
 
     # hard per-node input trust region ||u - u0|| <= r
     for k in range(n_U):
@@ -93,6 +110,18 @@ def build_scvx_subproblem(model, params, td: TrajectoryData,
 
     model.constraints(pb, X, U, params, ref)
     return pb.build(td.X.dtype)
+
+
+def extract_norm1_nu(prog, x, l1_split: bool = True):
+    """||nu||_1 of a subproblem solution under either L1 encoding.
+
+    In split mode the actual virtual control is nu+ - nu-; summing the
+    split variables would add the (mu-level) interior overlap, so the
+    exact norm is computed from their difference."""
+    if l1_split:
+        nu = prog.extract(x, "nu_pos") - prog.extract(x, "nu_neg")
+        return jnp.sum(jnp.abs(nu))
+    return prog.extract(x, "norm1_nu")
 
 
 @partial(jax.jit, static_argnums=(0, 2))
@@ -125,14 +154,23 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
         dd = multiple_shooting(model, par, td, substeps=cfg.substeps,
                                method=cfg.integrator, variable_time=False)
         prog = build_scvx_subproblem(model, params, td, dd,
-                                     jnp.asarray(trust, dtype), w_nu, ref)
+                                     jnp.asarray(trust, dtype), w_nu, ref,
+                                     cfg.l1_split)
         res = solve(prog, cfg.solver)
 
         new_td = td.replace(X=prog.extract(res.x, "X"),
                             U=prog.extract(res.x, "U"))
-        L = prog.extract(res.x, "norm1_nu")
+        L = extract_norm1_nu(prog, res.x, cfg.l1_split)
         J_new = nonlinear_defect_cost(model, par, new_td, cfg.sim_substeps,
                                       cfg.integrator)
+
+        # per-scenario failure masking (SURVEY §5): a non-finite subproblem
+        # solution or cost must not poison the carried trajectory — treat
+        # the step as rejected instead of std::terminate'ing like the
+        # reference (SCvxAlgorithm.cpp:87-91)
+        step_ok = (jnp.all(jnp.isfinite(new_td.X))
+                   & jnp.all(jnp.isfinite(new_td.U))
+                   & jnp.isfinite(J_new) & jnp.isfinite(L))
 
         # ratio test (SCvxAlgorithm.cpp:95-154)
         actual = last_J - J_new
@@ -145,6 +183,8 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
         reject = jnp.logical_and(jnp.logical_not(first),
                                  jnp.logical_and(jnp.logical_not(conv_now),
                                                  rho < cfg.rho_0))
+        reject = jnp.logical_or(reject, jnp.logical_not(step_ok))
+        conv_now = jnp.logical_and(conv_now, step_ok)
         accept = jnp.logical_not(reject)
 
         shrink = jnp.logical_or(reject, jnp.logical_and(accept, rho < cfg.rho_1))
@@ -155,8 +195,10 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
 
         td_next = tree_select(jnp.logical_and(accept, jnp.logical_not(done)),
                               new_td, td)
-        # reference quirk: last_J overwritten even on reject (cpp:118)
-        last_J_next = jnp.where(done, last_J, J_new)
+        # reference quirk: last_J overwritten even on reject (cpp:118) —
+        # except on masked failures, where the old value must survive
+        last_J_next = jnp.where(done | jnp.logical_not(step_ok),
+                                last_J, J_new)
         accepts_next = accepts + jnp.where(
             jnp.logical_and(accept, jnp.logical_not(done)), 1, 0)
         converged_next = jnp.logical_or(converged,

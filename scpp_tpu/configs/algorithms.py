@@ -41,6 +41,7 @@ class SCvxConfig:
     substeps: int = 10
     sim_substeps: int = 12
     integrator: str = "dopri5"
+    l1_split: bool = True   # nu = nu+ - nu- encoding (see build_scvx_subproblem)
     solver: object = IPMSettings(iters=30)
 
     @staticmethod
@@ -82,6 +83,7 @@ class SCConfig:
     substeps: int = 10
     sim_substeps: int = 12
     integrator: str = "dopri5"
+    l1_split: bool = True   # nu = nu+ - nu- encoding (see build_sc_subproblem)
     solver: object = IPMSettings(iters=30)
 
     @staticmethod

@@ -39,7 +39,7 @@ import numpy as np
 from flax import struct
 
 from scpp_tpu.solver.builder import ConicProgram
-from scpp_tpu.solver.scs import SolverResult
+from scpp_tpu.solver.scs import SolverResult, _ruiz, _soc_groups
 
 __all__ = ["IPMSettings", "solve_conic_ipm"]
 
@@ -53,6 +53,7 @@ class IPMSettings:
     eps_reg: float = struct.field(pytree_node=False, default=1e-10)
     rho_lift: float = struct.field(pytree_node=False, default=1.0)
     eps_feas: float = struct.field(pytree_node=False, default=1e-9)
+    ruiz_iters: int = struct.field(pytree_node=False, default=10)
 
 
 class _ConeOps:
@@ -255,11 +256,20 @@ def solve_conic_ipm(prog: ConicProgram, settings: IPMSettings = IPMSettings()
 def _solve_conic_ipm_impl(prog: ConicProgram, settings: IPMSettings
                           ) -> SolverResult:
     ne = prog.n_eq
-    A_full = prog.A
-    b_full = prog.b
-    c = prog.c
+    A_orig = prog.A
+    b_orig = prog.b
+    c_orig = prog.c
     n = prog.n
-    dtype = A_full.dtype
+    dtype = A_orig.dtype
+
+    # Ruiz equilibration (cone-block-uniform rows, shared column scaling):
+    # essential in float32 — e.g. a disabled roll-torque column carries a
+    # 1/J_z ~ 1e5 coefficient that otherwise puts ~1e10 entries in the
+    # normal equations and destroys the Cholesky
+    A_full, D_row, E_col = _ruiz(A_orig, prog, _soc_groups(prog),
+                                 settings.ruiz_iters)
+    b_full = D_row * b_orig
+    c = E_col * c_orig
 
     A = A_full[:ne]
     b = b_full[:ne]
@@ -390,12 +400,18 @@ def _solve_conic_ipm_impl(prog: ConicProgram, settings: IPMSettings
     (x, y, s, z, _), _ = jax.lax.scan(body, carry0, None,
                                       length=settings.iters)
 
+    # unscale: x = E x^, y = D y^, s = D^-1 s^; residuals on original data
     y_full = jnp.concatenate([y, z]) if ne else z
     s_full = jnp.concatenate([jnp.zeros(ne, dtype), s]) if ne else s
-    obj = c @ x
-    res_pri = jnp.linalg.norm(A_full @ x + s_full - b_full) / bnorm
-    res_dua = jnp.linalg.norm(A_full.T @ y_full + c) / cnorm
-    by = b_full @ y_full
+    x = E_col * x
+    y_full = D_row * y_full
+    s_full = s_full / D_row
+    obj = c_orig @ x
+    res_pri = jnp.linalg.norm(A_orig @ x + s_full - b_orig) / \
+        (1.0 + jnp.linalg.norm(b_orig))
+    res_dua = jnp.linalg.norm(A_orig.T @ y_full + c_orig) / \
+        (1.0 + jnp.linalg.norm(c_orig))
+    by = b_orig @ y_full
     res_gap = jnp.abs(obj + by) / (1.0 + jnp.abs(obj) + jnp.abs(by))
     zero = jnp.zeros((), dtype)
     return SolverResult(x=x, y=y_full, s=s_full, obj=obj,

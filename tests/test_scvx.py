@@ -16,13 +16,44 @@ from scpp_tpu.solver.ipm import IPMSettings
 @pytest.fixture(scope="module")
 def scvx_result():
     # final_time=16 s is dynamically reachable (the stock 12 s is not at
-    # fixed final time; SC's free sigma handles that case instead)
+    # fixed final time; SC's free sigma handles that case instead).
+    # l1_split=False exercises the reference-faithful epigraph encoding;
+    # the split encoding is covered by test_l1_encodings_agree.
     cfg = SCvxConfig(K=20, max_iterations=25, solve_budget=35,
-                     nondimensionalize=True, change_threshold=1e-6)
+                     nondimensionalize=True, change_threshold=1e-6,
+                     l1_split=False)
     p = Rocket2D.default_params()
     p = p.replace(final_time=jnp.asarray(16.0))
     res = solve_scvx(Rocket2D, p, cfg)
     return cfg, p, res
+
+
+def test_l1_encodings_agree():
+    """The nu+/nu- split and the reference epigraph L1 encodings solve the
+    same convex subproblem: optimal objective values agree. (Full SCvx
+    trajectories may differ — the L1 optimum is degenerate and each
+    encoding's interior point selects a different optimal face.)"""
+    from scpp_tpu.algos.scvx import build_scvx_subproblem, extract_norm1_nu
+    from scpp_tpu.ops.discretization import multiple_shooting
+    from scpp_tpu.solver import solve
+    from scpp_tpu.solver.ipm import IPMSettings
+
+    p = Rocket2D.nondimensionalize(Rocket2D.default_params())
+    par = Rocket2D.param_vector(p)
+    td = Rocket2D.init_trajectory(p, 15, True)
+    dd = multiple_shooting(Rocket2D, par, td, substeps=8,
+                           variable_time=False)
+    objs = {}
+    for split in (False, True):
+        prog = build_scvx_subproblem(Rocket2D, p, td, dd,
+                                     jnp.asarray(5.0), jnp.asarray(1e3), (),
+                                     split)
+        res = solve(prog, IPMSettings(iters=30))
+        objs[split] = (float(res.obj),
+                       float(extract_norm1_nu(prog, res.x, split)))
+    np.testing.assert_allclose(objs[True][0], objs[False][0], rtol=1e-6)
+    np.testing.assert_allclose(objs[True][1], objs[False][1],
+                               rtol=1e-5, atol=1e-9)
 
 
 def test_scvx_converges(scvx_result):
