@@ -46,8 +46,8 @@ def main():
         solver=IPMSettings(iters=20, eps_reg=1e-7, eps_feas=1e-5),
     )
     params = RocketQuat.default_params()
-    pb = disperse_initial_state(params, jax.random.PRNGKey(0), batch,
-                                scale=2.0)
+    pb = disperse_initial_state(RocketQuat, params, jax.random.PRNGKey(0),
+                                batch, scale=2.0)
 
     @jax.jit
     def run(pbatch):

@@ -11,6 +11,7 @@ Default physical values correspond to the stock Rocket2D configuration
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -168,6 +169,31 @@ class Rocket2D:
             jnp.clip(u[0], -p.gimbal_max, p.gimbal_max),
             jnp.clip(u[1], p.T_min, p.T_max),
         ])
+
+    @staticmethod
+    def disperse_x_init(p: Rocket2DParams, key, scale):
+        """Sample a *feasible* dispersed initial state (the batched analog
+        of the reference's commented-out randomizeInitialState,
+        rocketQuat.cpp:203-227). Position/velocity get Gaussian dispersion
+        of magnitude ``scale``; attitude and rate are drawn uniformly well
+        inside their hard boxes and the glideslope cone so the pinned
+        initial node never makes the subproblem infeasible
+        (rocket2d.cpp:63-76)."""
+        kr, kv, ka, kw = jax.random.split(key, 4)
+        dtype = p.x_init.dtype
+        s = jnp.asarray(scale, dtype)
+        r = p.x_init[0:2] + s * jax.random.normal(kr, (2,), dtype)
+        v = p.x_init[2:4] + 0.2 * s * jax.random.normal(kv, (2,), dtype)
+        frac = jnp.minimum(s / 10.0, 1.0)
+        eta = p.x_init[4] + frac * 0.3 * p.theta_max * \
+            jax.random.uniform(ka, (), dtype, -1.0, 1.0)
+        eta = jnp.clip(eta, -0.9 * p.theta_max, 0.9 * p.theta_max)
+        w = p.x_init[5] + frac * 0.3 * p.w_B_max * \
+            jax.random.uniform(kw, (), dtype, -1.0, 1.0)
+        w = jnp.clip(w, -0.9 * p.w_B_max, 0.9 * p.w_B_max)
+        lim = 0.95 * jnp.tan(p.gamma_gs) * r[1]
+        rx = jnp.clip(r[0], -lim, lim)
+        return jnp.concatenate([rx[None], r[1:2], v, eta[None], w[None]])
 
     # ---- nondimensionalization (rocket2d.cpp:197-232) ----
 

@@ -207,6 +207,30 @@ class RocketEuler:
         return jnp.concatenate([T, u[3:4]])
 
     @staticmethod
+    def disperse_x_init(p: RocketEulerParams, key, scale):
+        """Feasible initial-state dispersion (see RocketQuat.disperse_x_init;
+        attitude is perturbed directly in XYZ Euler angles)."""
+        kr, kv, ka, kw = jax.random.split(key, 4)
+        dtype = p.x_init.dtype
+        s = jnp.asarray(scale, dtype)
+        r_xy = p.x_init[1:3] + s * jax.random.normal(kr, (2,), dtype)
+        lim = 0.95 * jnp.tan(p.gamma_gs) * p.x_init[3]
+        nrm = jnp.linalg.norm(r_xy)
+        r_xy = r_xy * jnp.minimum(1.0, lim / jnp.maximum(nrm, 1e-30))
+        v = p.x_init[4:7] + 0.2 * s * jax.random.normal(kv, (3,), dtype)
+        frac = jnp.minimum(s / 10.0, 1.0)
+        d_rp = frac * 0.3 * p.theta_max * \
+            jax.random.uniform(ka, (2,), dtype, -1.0, 1.0)
+        rp = jnp.clip(p.x_init[7:9] + d_rp,
+                      -0.45 * p.theta_max, 0.45 * p.theta_max)
+        w = p.x_init[10:13] + frac * 0.3 * p.w_B_max * \
+            jax.random.uniform(kw, (3,), dtype, -1.0, 1.0)
+        wn = jnp.linalg.norm(w)
+        w = w * jnp.minimum(1.0, 0.9 * p.w_B_max / jnp.maximum(wn, 1e-30))
+        return jnp.concatenate([p.x_init[0:1], r_xy, p.x_init[3:4], v,
+                                rp, p.x_init[9:10], w])
+
+    @staticmethod
     def _state_scale(m_scale, r_scale, dtype):
         return jnp.concatenate([
             m_scale[None].astype(dtype) if m_scale.ndim == 0 else m_scale,

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from scpp_tpu.models.mathlib import (
-    deg2rad, euler_xyz_to_quat, omega_matrix, quat_to_rotmat, slerp,
+    deg2rad, euler_xyz_to_quat, omega_matrix, quat_to_euler_xyz,
+    quat_to_rotmat, slerp,
 )
 from scpp_tpu.trajectory import TrajectoryData
 
@@ -238,6 +239,35 @@ class RocketQuat:
         nT = jnp.linalg.norm(T)
         T = jnp.where(nT > p.T_max, T * (p.T_max / nT), T)
         return jnp.concatenate([T, u[3:4]])
+
+    @staticmethod
+    def disperse_x_init(p: RocketQuatParams, key, scale):
+        """Sample a *feasible* dispersed initial state (batched analog of
+        randomizeInitialState, rocketQuat.cpp:203-227): Gaussian dispersion
+        on horizontal position and velocity, attitude rebuilt from perturbed
+        Euler angles (stays a unit quaternion), everything kept inside the
+        glideslope cone, tilt and rate SOCs so the pinned initial node
+        remains feasible (rocketQuat.cpp:79-105)."""
+        kr, kv, ka, kw = jax.random.split(key, 4)
+        dtype = p.x_init.dtype
+        s = jnp.asarray(scale, dtype)
+        r_xy = p.x_init[1:3] + s * jax.random.normal(kr, (2,), dtype)
+        lim = 0.95 * jnp.tan(p.gamma_gs) * p.x_init[3]
+        nrm = jnp.linalg.norm(r_xy)
+        r_xy = r_xy * jnp.minimum(1.0, lim / jnp.maximum(nrm, 1e-30))
+        v = p.x_init[4:7] + 0.2 * s * jax.random.normal(kv, (3,), dtype)
+        frac = jnp.minimum(s / 10.0, 1.0)
+        rpy0 = quat_to_euler_xyz(p.x_init[7:11])
+        d_rp = frac * 0.3 * p.theta_max * \
+            jax.random.uniform(ka, (2,), dtype, -1.0, 1.0)
+        rp = jnp.clip(rpy0[:2] + d_rp,
+                      -0.45 * p.theta_max, 0.45 * p.theta_max)
+        q = euler_xyz_to_quat(jnp.concatenate([rp, rpy0[2:3]]))
+        w = p.x_init[11:14] + frac * 0.3 * p.w_B_max * \
+            jax.random.uniform(kw, (3,), dtype, -1.0, 1.0)
+        wn = jnp.linalg.norm(w)
+        w = w * jnp.minimum(1.0, 0.9 * p.w_B_max / jnp.maximum(wn, 1e-30))
+        return jnp.concatenate([p.x_init[0:1], r_xy, p.x_init[3:4], v, q, w])
 
     # ---- nondimensionalization (rocketQuat.cpp:291-332) ----
 

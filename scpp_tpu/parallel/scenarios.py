@@ -41,20 +41,20 @@ def make_scenario_mesh(devices=None, axis: str = "scenario") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def disperse_initial_state(params, key, n: int, scale):
-    """Sample ``n`` scenario parameter pytrees with Gaussian dispersions on
-    the initial state: x_init_i = x_init + scale * eps_i (the batched
+def disperse_initial_state(model, params, key, n: int, scale):
+    """Sample ``n`` scenario parameter pytrees with *feasible* dispersed
+    initial states via the model's ``disperse_x_init`` hook (the batched
     analog of the reference's commented-out randomizeInitialState,
-    rocketQuat.cpp:203-227)."""
-    eps = jax.random.normal(key, (n,) + params.x_init.shape,
-                            dtype=params.x_init.dtype)
-    scale = jnp.asarray(scale, params.x_init.dtype)
-    x_inits = params.x_init[None, :] + scale * eps
+    rocketQuat.cpp:203-227). Feasibility matters: the initial node is
+    pinned by an equality constraint, so an x_init outside the hard state
+    set (tilt/rate boxes, glideslope cone) would make every subproblem of
+    that scenario infeasible."""
+    keys = jax.random.split(key, n)
 
-    def with_x(x0):
-        return params.replace(x_init=x0)
+    def one(k):
+        return params.replace(x_init=model.disperse_x_init(params, k, scale))
 
-    return jax.vmap(with_x)(x_inits)
+    return jax.vmap(one)(keys)
 
 
 def solve_batch(model, params_batch, cfg, algorithm: str = "scvx",

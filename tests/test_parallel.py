@@ -24,7 +24,7 @@ def batch_setup():
                      nondimensionalize=True, solver=IPMSettings(iters=15))
     p = Rocket2D.default_params().replace(final_time=jnp.asarray(16.0))
     key = jax.random.PRNGKey(0)
-    pb = disperse_initial_state(p, key, 8, scale=5.0)
+    pb = disperse_initial_state(Rocket2D, p, key, 8, scale=5.0)
     return cfg, p, pb
 
 
@@ -35,6 +35,37 @@ def test_disperse_shapes(batch_setup):
     # only x_init varies
     np.testing.assert_allclose(np.asarray(pb.T_max),
                                np.full(8, float(p.T_max)))
+    # dispersion varied the states
+    assert np.std(np.asarray(pb.x_init)[:, 0]) > 0.1
+
+
+def test_disperse_feasible(batch_setup):
+    """Dispersed initial states must satisfy the hard state constraints —
+    the initial node is pinned, so an infeasible x_init would make every
+    subproblem of that scenario infeasible."""
+    cfg, p, pb = batch_setup
+    xi = np.asarray(pb.x_init)
+    tan_gs = np.tan(float(p.gamma_gs))
+    assert np.all(np.abs(xi[:, 0]) <= tan_gs * xi[:, 1] + 1e-12)
+    assert np.all(np.abs(xi[:, 4]) <= float(p.theta_max))
+    assert np.all(np.abs(xi[:, 5]) <= float(p.w_B_max))
+
+
+def test_disperse_feasible_quat():
+    from scpp_tpu.models import RocketQuat
+    p = RocketQuat.default_params()
+    pb = disperse_initial_state(RocketQuat, p, jax.random.PRNGKey(3), 16,
+                                scale=20.0)
+    xi = np.asarray(pb.x_init)
+    # unit quaternions
+    np.testing.assert_allclose(np.linalg.norm(xi[:, 7:11], axis=1), 1.0,
+                               atol=1e-12)
+    # glideslope, tilt, rate SOCs (rocketQuat.cpp:96-105)
+    tan_gs = np.tan(float(p.gamma_gs))
+    assert np.all(np.linalg.norm(xi[:, 1:3], axis=1) <= tan_gs * xi[:, 3])
+    tilt = np.sqrt((1.0 - np.cos(float(p.theta_max))) / 2.0)
+    assert np.all(np.linalg.norm(xi[:, 8:10], axis=1) <= tilt)
+    assert np.all(np.linalg.norm(xi[:, 11:14], axis=1) <= float(p.w_B_max))
 
 
 def test_vmap_batch_solve(batch_setup):
