@@ -42,7 +42,7 @@ def main():
     cfg = SCvxConfig(
         K=30, max_iterations=30, solve_budget=budget,
         change_threshold=1e-3, nondimensionalize=True,
-        substeps=6, sim_substeps=8,
+        substeps=6, sim_substeps=8, state_trust_region=5.0,
         solver=IPMSettings(iters=20, eps_reg=1e-7, eps_feas=1e-5),
     )
     params = RocketQuat.default_params()

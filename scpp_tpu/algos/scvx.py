@@ -59,7 +59,8 @@ class SCvxResult:
 
 def build_scvx_subproblem(model, params, td: TrajectoryData,
                           dd: DiscretizationData, trust_region, weight_nu,
-                          ref, l1_split: bool = True):
+                          ref, l1_split: bool = True,
+                          state_trust_region=None):
     """The SCvx convex subproblem (SCvxProblem.cpp:6-73 + model constraints).
 
     ``l1_split=True`` encodes the L1 virtual-control penalty with the
@@ -108,6 +109,11 @@ def build_scvx_subproblem(model, params, td: TrajectoryData,
     for k in range(n_U):
         pb.add_soc(Aff.constant(trust_region), U[k] - td.U[k])
 
+    # optional per-node state trust region (see SCvxConfig.state_trust_region)
+    if state_trust_region is not None:
+        for k in range(K):
+            pb.add_soc(Aff.constant(state_trust_region), X[k] - td.X[k])
+
     model.constraints(pb, X, U, params, ref)
     return pb.build(td.X.dtype)
 
@@ -153,9 +159,14 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
 
         dd = multiple_shooting(model, par, td, substeps=cfg.substeps,
                                method=cfg.integrator, variable_time=False)
+        # the state radius rides the same accept/reject ladder as the input
+        # radius, scaled by the configured ratio
+        x_trust = (jnp.asarray(trust, dtype) *
+                   (cfg.state_trust_region / cfg.trust_region)
+                   if cfg.state_trust_region else None)
         prog = build_scvx_subproblem(model, params, td, dd,
                                      jnp.asarray(trust, dtype), w_nu, ref,
-                                     cfg.l1_split)
+                                     cfg.l1_split, x_trust)
         res = solve(prog, cfg.solver)
 
         new_td = td.replace(X=prog.extract(res.x, "X"),

@@ -36,6 +36,15 @@ class SCvxConfig:
     change_threshold: float = 1e-2
     weight_virtual_control: float = 1e3
     trust_region: float = 5.0
+    # Optional per-node state trust region ||x - x0|| <= r_x, scaled by the
+    # same accept/reject ladder as the input radius. 0 disables it — exact
+    # parity with the reference, which trust-regions only the input
+    # (SCvxProblem.cpp:58-68). On strongly nonlinear models (RocketQuat)
+    # the input-only trust region lets the subproblem move X far from the
+    # linearization point where A,B,z are meaningless (||nu||_1 -> 0 while
+    # the resimulated defect stays O(1)); bounding X restores the
+    # convergence behavior of the original SCvx formulation (Mao et al.).
+    state_trust_region: float = 0.0
     nondimensionalize: bool = False
     interpolate_input: bool = True
     substeps: int = 10

@@ -19,9 +19,14 @@ def scvx_result():
     # fixed final time; SC's free sigma handles that case instead).
     # l1_split=False exercises the reference-faithful epigraph encoding;
     # the split encoding is covered by test_l1_encodings_agree.
+    # state_trust_region keeps late iterations from re-wandering in X so
+    # the deep 1e-6 convergence threshold is reached deterministically
+    # (without it, whether the budget suffices depends on ulp-level branch
+    # flips between compilations); the input-only parity path is covered
+    # by test_scvx_infeasible_final_time_yields_virtual_control.
     cfg = SCvxConfig(K=20, max_iterations=25, solve_budget=35,
                      nondimensionalize=True, change_threshold=1e-6,
-                     l1_split=False)
+                     l1_split=False, state_trust_region=5.0)
     p = Rocket2D.default_params()
     p = p.replace(final_time=jnp.asarray(16.0))
     res = solve_scvx(Rocket2D, p, cfg)
@@ -123,3 +128,28 @@ def test_scvx_vmapped_scenarios():
     single = one(offsets[1])
     np.testing.assert_allclose(np.asarray(batched[1]), np.asarray(single),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_scvx_state_trust_region_rocketquat():
+    """Input-only trust regions (reference parity) let the subproblem move
+    X far from the linearization point on RocketQuat — ||nu||_1 goes to 0
+    while the resimulated defect stays O(1) and SCvx never converges. The
+    optional state trust region (SCvxConfig.state_trust_region) restores
+    the original-SCvx convergence: J and L meet at the minimum-virtual-
+    control fixed point of the (infeasible) fixed-final-time problem."""
+    from scpp_tpu.models import RocketQuat
+    cfg = SCvxConfig(K=15, max_iterations=25, solve_budget=35,
+                     change_threshold=1e-3, nondimensionalize=True,
+                     substeps=6, sim_substeps=8, state_trust_region=5.0,
+                     solver=IPMSettings(iters=25, eps_reg=1e-8,
+                                        eps_feas=1e-7))
+    p = RocketQuat.default_params()
+    res = solve_scvx(RocketQuat, p, cfg)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 15
+    assert float(res.max_residual) < 1e-3
+    J = np.asarray(res.nonlinear_cost)
+    L = np.asarray(res.linear_cost)
+    # converged to the L1-penalized fixed point: J tracks L closely
+    assert abs(J[-1] - L[-1]) < 2e-2
+    assert J[-1] < 0.25 * J[0]
