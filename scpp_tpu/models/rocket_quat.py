@@ -265,6 +265,12 @@ class RocketQuat:
         q = euler_xyz_to_quat(jnp.concatenate([rp, rpy0[2:3]]))
         w = p.x_init[11:14] + frac * 0.3 * p.w_B_max * \
             jax.random.uniform(kw, (3,), dtype, -1.0, 1.0)
+        if not p.enable_roll_control:
+            # roll disabled pins w_z = 0 at EVERY node including the pinned
+            # initial one (constraints: v_X[:, 13] == 0 alongside the x_init
+            # pin, rocketQuat.cpp:135-143) — a dispersed w_z would make the
+            # subproblem's equality system infeasible
+            w = w.at[2].set(0.0)
         wn = jnp.linalg.norm(w)
         w = w * jnp.minimum(1.0, 0.9 * p.w_B_max / jnp.maximum(wn, 1e-30))
         return jnp.concatenate([p.x_init[0:1], r_xy, p.x_init[3:4], v, q, w])

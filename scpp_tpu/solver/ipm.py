@@ -54,6 +54,10 @@ class IPMSettings:
     rho_lift: float = struct.field(pytree_node=False, default=1.0)
     eps_feas: float = struct.field(pytree_node=False, default=1e-9)
     ruiz_iters: int = struct.field(pytree_node=False, default=10)
+    # iterative-refinement sweeps on each KKT solve: the float32 path needs
+    # them (a raw fp32 Cholesky solve of the reduced system carries ~1e-2
+    # relative error, which caps the achievable primal residual at ~1e-3)
+    refine_steps: int = struct.field(pytree_node=False, default=2)
 
 
 class _ConeOps:
@@ -285,34 +289,66 @@ def _solve_conic_ipm_impl(prog: ConicProgram, settings: IPMSettings
     AtA = (A.T @ A) * rho if ne else jnp.zeros((n, n), dtype)
 
     def kkt_factor(Wrep):
+        """Factor the reduced KKT. Jacobi-equilibrate H and the Schur
+        complement before the Cholesky so eps_reg acts *relative* to the
+        matrix scale — in float32 the NT scaling drives ||H|| to ~mu^-1 and
+        an absolute eps*I regularization underflows into roundoff, making
+        the factorization fail (negative pivot -> NaN) near convergence."""
         Gw = ops.apply_Winv_mat(Wrep, G)
-        H = Gw.T @ Gw + AtA + eps * jnp.eye(n, dtype=dtype)
-        L1 = jnp.linalg.cholesky(H)
+        H = Gw.T @ Gw + AtA
+        d1 = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-30))
+        Hs = H * d1[:, None] * d1[None, :] + eps * jnp.eye(n, dtype=dtype)
+        L1 = jnp.linalg.cholesky(Hs)
+
+        def solve_H(r):
+            # r: (n,) or (n, k)
+            rs = d1 * r if r.ndim == 1 else d1[:, None] * r
+            xs = jax.scipy.linalg.cho_solve((L1, True), rs)
+            return d1 * xs if r.ndim == 1 else d1[:, None] * xs
+
         if ne:
-            Hinv_At = jax.scipy.linalg.cho_solve((L1, True), A.T)
-            S = A @ Hinv_At + eps * jnp.eye(ne, dtype=dtype)
-            L2 = jnp.linalg.cholesky(S)
+            Hinv_At = solve_H(A.T)
+            S = A @ Hinv_At
+            d2 = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-30))
+            Ss = S * d2[:, None] * d2[None, :] + eps * jnp.eye(ne, dtype=dtype)
+            L2 = jnp.linalg.cholesky(Ss)
+
+            def solve_S(r):
+                return d2 * jax.scipy.linalg.cho_solve((L2, True), d2 * r)
         else:
-            L2 = None
-        return L1, L2
+            solve_S = None
+        return solve_H, solve_S, H
 
     def kkt_solve(fact, Wrep, f1, f2, rz_plus_Wd):
         """Solve the Newton system
             A' dy + G' dz = f1,  A dx = f2,  G dx - W^2 dz = -(rz + W d)
         via the lifted reduced form
             (H + rho A'A + eps I) dx + A' dy = f1 - G' u3 + rho A' f2,
-        with u3 = W^-2 (rz + W d) and dz = W^-2 G dx + u3.
+        with u3 = W^-2 (rz + W d) and dz = W^-2 G dx + u3. Each solve is
+        polished by ``refine_steps`` sweeps of iterative refinement on the
+        lifted 2x2 system (essential for fp32 accuracy, cheap vs factor).
         """
-        L1, L2 = fact
+        solve_H, solve_S, H = fact
         u3 = ops.apply_Winv(Wrep, ops.apply_Winv(Wrep, rz_plus_Wd))
         r1l = f1 - G.T @ u3 + (A.T @ (rho * f2) if ne else 0.0)
-        if ne:
-            t = jax.scipy.linalg.cho_solve((L1, True), r1l)
-            dy = jax.scipy.linalg.cho_solve((L2, True), A @ t - f2)
-            dx = jax.scipy.linalg.cho_solve((L1, True), r1l - A.T @ dy)
-        else:
-            dy = jnp.zeros((0,), dtype)
-            dx = jax.scipy.linalg.cho_solve((L1, True), r1l)
+
+        def schur_pass(g1, g2):
+            if ne:
+                t = solve_H(g1)
+                dy = solve_S(A @ t - g2)
+                dx = solve_H(g1 - A.T @ dy)
+            else:
+                dy = jnp.zeros((0,), dtype)
+                dx = solve_H(g1)
+            return dx, dy
+
+        dx, dy = schur_pass(r1l, f2)
+        for _ in range(settings.refine_steps):
+            res1 = r1l - H @ dx - (A.T @ dy if ne else 0.0)
+            res2 = (f2 - A @ dx) if ne else f2
+            cx, cy = schur_pass(res1, res2)
+            dx = dx + cx
+            dy = dy + cy if ne else dy
         dz = ops.apply_Winv(Wrep, ops.apply_Winv(Wrep, G @ dx)) + u3
         return dx, dy, dz
 
