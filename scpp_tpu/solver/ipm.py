@@ -369,8 +369,12 @@ def _solve_conic_ipm_impl(prog: ConicProgram, settings: IPMSettings
     t_d = ops.min_shift(z_cand)
     z0 = z_cand + jnp.where(t_d < -1e-8, 0.0, t_d + 1.0) * e_vec
 
-    bnorm = 1.0 + jnp.linalg.norm(b_full)
-    cnorm = 1.0 + jnp.linalg.norm(c)
+    # convergence is measured on ORIGINAL-space residuals (what callers
+    # check): the Ruiz scaling maps rx_orig = rx_scaled / E_col and
+    # r_{y,z}_orig = r_scaled / D_row, so small scaled residuals can hide
+    # 1e3x-amplified true ones
+    bnorm = 1.0 + jnp.linalg.norm(b_orig)
+    cnorm = 1.0 + jnp.linalg.norm(c_orig)
 
     def body(carry, _):
         x, y, s, z, done = carry
@@ -413,8 +417,9 @@ def _solve_conic_ipm_impl(prog: ConicProgram, settings: IPMSettings
         s_n = s + alpha * dsc
         z_n = z + alpha * dzc
 
-        pres = jnp.sqrt(jnp.sum(ry ** 2) + jnp.sum(rz ** 2)) / bnorm
-        dres = jnp.linalg.norm(rx) / cnorm
+        pres = jnp.sqrt(jnp.sum((ry / D_row[:ne]) ** 2)
+                        + jnp.sum((rz / D_row[ne:]) ** 2)) / bnorm
+        dres = jnp.linalg.norm(rx / E_col) / cnorm
         conv = (pres < settings.eps_feas) & (dres < settings.eps_feas) & \
                (jnp.abs(gap) / nu_deg < settings.eps_feas)
         # freeze on any numerical blowup (NT scaling degenerates once the
