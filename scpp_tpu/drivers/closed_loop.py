@@ -50,6 +50,13 @@ def _reached(x, x_final, tol=0.02):
     return jnp.linalg.norm(x - x_final) < tol
 
 
+def _finite(*arrays):
+    ok = jnp.asarray(True)
+    for a in arrays:
+        ok = ok & jnp.all(jnp.isfinite(a))
+    return ok
+
+
 @partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def lqr_sim(model, params, cfg: LQRConfig = LQRConfig(),
             sim_time: float = 5.0, time_step: float = 0.01) -> SimHistory:
@@ -65,7 +72,7 @@ def lqr_sim(model, params, cfg: LQRConfig = LQRConfig(),
         u = lqr_control(K, u_eq, x, x_final)
         u = model.clamp_input(params, u)
         x_new = simulate(model, par, time_step, u, u, x, substeps=4)
-        x_next = jnp.where(done, x, x_new)
+        x_next = jnp.where(done | ~_finite(x_new), x, x_new)
         done_next = done | _reached(x_next, x_final)
         return (x_next, done_next), (x_next, u, (i + 1) * time_step,
                                      jnp.logical_not(done))
@@ -90,7 +97,11 @@ def mpc_sim(model, params, cfg: MPCConfig = MPCConfig(),
         x_mid = simulate(model, par, time_step, u_prev, u_prev, x, substeps=4)
         _, U, _ = mpc_solve(model, params, x, cfg, x_final)
         u = U[0]
-        x_next = jnp.where(done, x, x_mid)
+        # per-step failure masking (SURVEY §5): one bad conic solve must
+        # not poison the rollout — keep the previous input / freeze the
+        # state instead of the reference's std::terminate
+        u = jnp.where(_finite(u), u, u_prev)
+        x_next = jnp.where(done | ~_finite(x_mid), x, x_mid)
         u_next = jnp.where(done, u_prev, u)
         done_next = done | _reached(x_next, x_final)
         return (x_next, u_next, done_next), (x_next, u_next,
@@ -122,10 +133,12 @@ def sc_sim(model, params, cfg: SCConfig = SCConfig(),
         u0 = td.U[0]
         u1 = td.input_at_time(jnp.asarray(time_step, x.dtype))
         x_new = simulate(model, par_i, time_step, u0, u1, x, substeps=8)
-        x_next = jnp.where(done, x, x_new)
+        solve_ok = _finite(td.X, td.U, x_new)
+        x_next = jnp.where(done | ~solve_ok, x, x_new)
         # stop at ||x - x_final|| < 0.02 or td.t < 0.25 (SC_sim.cpp:57)
-        done_next = done | _reached(x_next, x_final) | (td.t < 0.25)
-        td_next = tree_select(done, td_warm, td)
+        done_next = done | _reached(x_next, x_final) | \
+            (solve_ok & (td.t < 0.25))
+        td_next = tree_select(done | ~solve_ok, td_warm, td)
         return (x_next, td_next, done_next), (
             x_next, u0, (i + 1) * time_step, jnp.logical_not(done))
 

@@ -377,7 +377,7 @@ def _solve_conic_ipm_impl(prog: ConicProgram, settings: IPMSettings
     cnorm = 1.0 + jnp.linalg.norm(c_orig)
 
     def body(carry, _):
-        x, y, s, z, done = carry
+        x, y, s, z, done, best = carry
 
         rx = c + (A.T @ y if ne else 0.0) + G.T @ z
         ry = A @ x - b if ne else jnp.zeros(0, dtype)
@@ -422,6 +422,23 @@ def _solve_conic_ipm_impl(prog: ConicProgram, settings: IPMSettings
         dres = jnp.linalg.norm(rx / E_col) / cnorm
         conv = (pres < settings.eps_feas) & (dres < settings.eps_feas) & \
                (jnp.abs(gap) / nu_deg < settings.eps_feas)
+
+        # best-iterate tracking: iterations past (near-)convergence can
+        # DEGRADE the solution — the NT scaling degenerates at the cone
+        # boundary and one bad fp step amplifies the dual residual by 1e5x
+        # before the finiteness guard trips. Score every visited iterate and
+        # return the best one, not the last one.
+        score = jnp.maximum(jnp.maximum(pres, dres),
+                            jnp.abs(gap) / nu_deg / (1.0 + jnp.abs(c @ x)))
+        score = jnp.where(jnp.isfinite(score), score, jnp.inf)
+        bx, by, bs, bz, bscore = best
+        better = score < bscore
+        best = (jnp.where(better, x, bx),
+                jnp.where(better, y, by) if ne else by,
+                jnp.where(better, s, bs),
+                jnp.where(better, z, bz),
+                jnp.where(better, score, bscore))
+
         # freeze on any numerical blowup (NT scaling degenerates once the
         # iterate touches the boundary post-convergence): keep last good
         finite = (jnp.all(jnp.isfinite(x_n)) & jnp.all(jnp.isfinite(s_n))
@@ -435,11 +452,14 @@ def _solve_conic_ipm_impl(prog: ConicProgram, settings: IPMSettings
         y = jnp.where(keep, y_n, y) if ne else y
         s = jnp.where(keep, s_n, s)
         z = jnp.where(keep, z_n, z)
-        return (x, y, s, z, done_n), None
+        return (x, y, s, z, done_n, best), None
 
-    carry0 = (x0, y0, s0, z0, jnp.asarray(False))
-    (x, y, s, z, _), _ = jax.lax.scan(body, carry0, None,
-                                      length=settings.iters)
+    inf0 = jnp.asarray(jnp.inf, dtype)
+    best0 = (x0, y0, s0, z0, inf0)
+    carry0 = (x0, y0, s0, z0, jnp.asarray(False), best0)
+    (_, _, _, _, _, best), _ = jax.lax.scan(body, carry0, None,
+                                            length=settings.iters)
+    x, y, s, z, _ = best
 
     # unscale: x = E x^, y = D y^, s = D^-1 s^; residuals on original data
     y_full = jnp.concatenate([y, z]) if ne else z

@@ -1,0 +1,187 @@
+"""Quasidefinite block-tridiagonal + arrow KKT factorization.
+
+The speed-of-light KKT path for trajectory SOCPs on TPU (SURVEY §2 V3,
+§5 "banded structure, not communication"): with variables AND equality
+multipliers ordered stage-by-stage, the regularized interior-point KKT
+matrix
+
+    M = [[H + eps I,  A'        ],      H = G' W^-2 G  (conic Gram)
+         [A,          -delta I  ]]
+
+is symmetric *quasidefinite* (Vanderbei 1995) and block-tridiagonal over
+stages — dynamics rows couple only adjacent nodes (the reference's banded
+dynamics chain, scpp_core/src/SCProblem.cpp:37-59), every other row is
+stage-local.  A few global columns/rows (the free-final-time sigma, its
+trust region) form an arrow border handled by a small Schur complement.
+
+Quasidefinite matrices are *strongly factorizable*: every symmetric
+permutation admits M = L S L' with L unit-free lower-triangular and
+S = diag(+-1) whose signature is fixed by construction (+1 for primal
+columns, -1 for multiplier columns).  Eliminating stage-by-stage keeps
+every pivot block quasidefinite, so each stage factors with two small
+Cholesky calls (primal part, then the negated dual Schur part) — batched
+matmul/Cholesky ops that ride the MXU and vmap over scenarios, at
+O(K w^3) total instead of the dense O((K w)^3).
+
+Layout conventions:
+  - D: (K, w, w) stage diagonal blocks, O: (K-1, w, w) sub-diagonal with
+    M[k+1, k] = O[k] (same as solver/banded.py).
+  - every stage has the same static signature: first ``p`` columns +1
+    (primal), the remaining w-p columns -1 (equality multipliers).
+  - arrow border: Bg: (K, w, g) coupling stages to the global block,
+    Cg: (g, g) with its own signature split ``p_glob``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+__all__ = [
+    "signed_cholesky", "signed_block_tridiag_factor",
+    "signed_block_tridiag_solve", "arrow_factor", "arrow_solve",
+]
+
+_P = jax.lax.Precision.HIGHEST
+
+
+def _sig(w: int, p: int, dtype):
+    return jnp.concatenate([jnp.ones(p, dtype), -jnp.ones(w - p, dtype)])
+
+
+def signed_cholesky(M, p: int):
+    """Factor a quasidefinite M = L S L', S = diag(+1 x p, -1 x (w-p)).
+
+    M = [[P, B'], [B, -N]] with P (p x p) SPD and N SPD (guaranteed by the
+    +eps/-delta regularization).  L = [[L_P, 0], [Bt, L_N]] with
+    P = L_P L_P', Bt = B L_P^{-T}, N + Bt Bt' = L_N L_N'.
+    """
+    w = M.shape[-1]
+    if p == w:
+        return jnp.linalg.cholesky(M)
+    if p == 0:
+        return jnp.linalg.cholesky(-M)
+    Pb = M[..., :p, :p]
+    B = M[..., p:, :p]
+    N = -M[..., p:, p:]
+    L_P = jnp.linalg.cholesky(Pb)
+    # Bt = B L_P^{-T}  <=>  L_P Bt' = B'
+    Bt = solve_triangular(L_P, jnp.swapaxes(B, -1, -2), lower=True)
+    Bt = jnp.swapaxes(Bt, -1, -2)
+    Np = N + Bt @ jnp.swapaxes(Bt, -1, -2)
+    L_N = jnp.linalg.cholesky(Np)
+    top = jnp.concatenate(
+        [L_P, jnp.zeros(M.shape[:-2] + (p, w - p), M.dtype)], axis=-1)
+    bot = jnp.concatenate([Bt, L_N], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def signed_block_tridiag_factor(D, O, p: int):
+    """Stagewise M = L S L' for quasidefinite block-tridiagonal M.
+
+    Returns (L_diag: (K, w, w), C_sub: (K-1, w, w)) where the factor's
+    sub-diagonal blocks are L[k+1, k] = C_sub[k] @ diag(sig); solves only
+    ever need C_sub itself.
+    """
+    w = D.shape[-1]
+    sig = _sig(w, p, D.dtype)
+    L0 = signed_cholesky(D[0], p)
+
+    def step(L_prev, inputs):
+        O_k, D_k = inputs
+        # C = O L_prev^{-T}:  L_prev C' = O'
+        C = solve_triangular(L_prev, O_k.T, lower=True)
+        C = C.T
+        Mk = D_k - (C * sig) @ C.T
+        L_k = signed_cholesky(Mk, p)
+        return L_k, (L_k, C)
+
+    _, (L_rest, C_sub) = jax.lax.scan(step, L0, (O, D[1:]))
+    L_diag = jnp.concatenate([L0[None], L_rest], axis=0)
+    return L_diag, C_sub
+
+
+def _fwd(L_diag, C_sub, sig, b):
+    """u = L^{-1} b stagewise; b: (K, w, r)."""
+    u0 = solve_triangular(L_diag[0], b[0], lower=True)
+
+    def step(u_prev, inputs):
+        L_k, C_k, b_k = inputs
+        u_k = solve_triangular(
+            L_k, b_k - (C_k * sig) @ u_prev, lower=True)
+        return u_k, u_k
+
+    _, u_rest = jax.lax.scan(step, u0, (L_diag[1:], C_sub, b[1:]))
+    return jnp.concatenate([u0[None], u_rest], axis=0)
+
+
+def _bwd(L_diag, C_sub, sig, v, tail_rhs=None):
+    """x = L^{-T} v stagewise (v already sign-scaled); optional extra
+    per-stage rhs subtracted (arrow border term)."""
+    if tail_rhs is not None:
+        v = v - tail_rhs
+    xK = solve_triangular(L_diag[-1], v[-1], lower=True, trans=1)
+
+    def step(x_next, inputs):
+        L_k, C_k, v_k = inputs
+        rhs = v_k - sig[:, None] * (C_k.T @ x_next)
+        x_k = solve_triangular(L_k, rhs, lower=True, trans=1)
+        return x_k, x_k
+
+    _, x_rest = jax.lax.scan(
+        step, xK, (L_diag[:-1][::-1], C_sub[::-1], v[:-1][::-1]))
+    return jnp.concatenate([x_rest[::-1], xK[None]], axis=0)
+
+
+def signed_block_tridiag_solve(L_diag, C_sub, p: int, b):
+    """Solve M x = b given the signed factorization; b: (K, w) or (K, w, r)."""
+    w = L_diag.shape[-1]
+    sig = _sig(w, p, L_diag.dtype)
+    squeeze = b.ndim == 2
+    if squeeze:
+        b = b[..., None]
+    u = _fwd(L_diag, C_sub, sig, b)
+    x = _bwd(L_diag, C_sub, sig, sig[:, None] * u)
+    return x[..., 0] if squeeze else x
+
+
+def arrow_factor(D, O, Bg, Cg, p: int, p_glob: int):
+    """Factor the arrow matrix [[T, Bg], [Bg', Cg]] with T block-tridiag.
+
+    Returns an opaque tuple for :func:`arrow_solve`.
+    """
+    w = D.shape[-1]
+    sig = _sig(w, p, D.dtype)
+    L_diag, C_sub = signed_block_tridiag_factor(D, O, p)
+    # Y = L_T^{-1} Bg  (stagewise forward with g right-hand sides)
+    Y = _fwd(L_diag, C_sub, sig, Bg)
+    S = Cg - jnp.einsum("kwg,kwh->gh", Y * sig[:, None], Y, precision=_P)
+    L_S = signed_cholesky(S, p_glob)
+    return (L_diag, C_sub, Y, L_S, p, p_glob)
+
+
+def arrow_solve(fact, b_stage, b_glob):
+    """Solve the arrow system; b_stage: (K, w) or (K, w, r), b_glob: (g,)
+    or (g, r).  Returns (x_stage, x_glob)."""
+    L_diag, C_sub, Y, L_S, p, p_glob = fact
+    w = L_diag.shape[-1]
+    g = L_S.shape[-1]
+    sig = _sig(w, p, L_diag.dtype)
+    sig_g = _sig(g, p_glob, L_diag.dtype)
+    squeeze = b_stage.ndim == 2
+    if squeeze:
+        b_stage = b_stage[..., None]
+        b_glob = b_glob[..., None]
+    u = _fwd(L_diag, C_sub, sig, b_stage)
+    u_g = solve_triangular(
+        L_S,
+        b_glob - jnp.einsum("kwg,kwr->gr", Y * sig[:, None], u,
+                            precision=_P),
+        lower=True)
+    x_g = solve_triangular(L_S, sig_g[:, None] * u_g, lower=True, trans=1)
+    tail = sig[:, None] * jnp.einsum("kwg,gr->kwr", Y, x_g, precision=_P)
+    x_stage = _bwd(L_diag, C_sub, sig, sig[:, None] * u, tail_rhs=tail)
+    if squeeze:
+        return x_stage[..., 0], x_g[..., 0]
+    return x_stage, x_g
