@@ -282,12 +282,19 @@ def _staged_ruiz(prog: StagedProgram, iters: int):
         r_geq = jnp.max(jnp.abs(Ageq_s), axis=1) if A_geq.shape[0] else d_geq
         r_cg = soc_uniform_g(jnp.max(jnp.abs(Gg_s), axis=1)) \
             if G_g.shape[0] else d_cg
-        d_eq = d_eq / jnp.sqrt(jnp.maximum(r_eq, 1e-12))
-        d_c = d_c / jnp.sqrt(jnp.maximum(r_c, 1e-12))
+        # all-zero rows (padded / masked-off families) stay unscaled —
+        # otherwise each sweep multiplies their scale by 1e6 and the rhs
+        # blows up to ~1e60 after 10 sweeps
+        def rowscale(d, r):
+            return jnp.where(r < 1e-12, d,
+                             d / jnp.sqrt(jnp.maximum(r, 1e-12)))
+
+        d_eq = rowscale(d_eq, r_eq)
+        d_c = rowscale(d_c, r_c)
         if A_geq.shape[0]:
-            d_geq = d_geq / jnp.sqrt(jnp.maximum(r_geq, 1e-12))
+            d_geq = rowscale(d_geq, r_geq)
         if G_g.shape[0]:
-            d_cg = d_cg / jnp.sqrt(jnp.maximum(r_cg, 1e-12))
+            d_cg = rowscale(d_cg, r_cg)
 
         # column update (with refreshed row scales)
         Ecat = colscale_cat(E_st, E_g)
@@ -307,9 +314,13 @@ def _staged_ruiz(prog: StagedProgram, iters: int):
             if gboth.shape[0]:
                 cmax_g = jnp.maximum(cmax_g,
                                      jnp.max(jnp.abs(gboth), axis=0))
-        E_st = E_st / jnp.sqrt(jnp.maximum(cmax_st, 1e-12))
+        # same guard for empty columns (e.g. the virtual control's padded
+        # copy at the last stage appears in no row at all)
+        E_st = jnp.where(cmax_st < 1e-12, E_st,
+                         E_st / jnp.sqrt(jnp.maximum(cmax_st, 1e-12)))
         if g:
-            E_g = E_g / jnp.sqrt(jnp.maximum(cmax_g, 1e-12))
+            E_g = jnp.where(cmax_g < 1e-12, E_g,
+                            E_g / jnp.sqrt(jnp.maximum(cmax_g, 1e-12)))
 
     return E_st, E_g, d_eq, d_c, d_geq, d_cg
 
@@ -369,6 +380,8 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
 
     eps = settings.eps_reg
     delta = settings.eps_reg
+    rho = settings.rho_lift
+    sqrho = jnp.sqrt(jnp.asarray(rho, dtype))
 
     # ---- staged matvecs ----
 
@@ -415,7 +428,11 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
     # ---- KKT factor / solve ----
 
     def kkt_factor(rep, rep_g):
+        # H = G' W^-2 G + rho A'A: the rho-lift keeps the primal pivots
+        # positive-definite along directions whose cone rows go inactive
+        # (W^-2 -> 0 there as mu -> 0), exactly as in the dense backend
         Gw = cones.apply_Winv_rows(rep, G)                      # (K, mc, C)
+        Gw = jnp.concatenate([Gw, sqrho * A_eq], axis=1)
         Gam = jnp.einsum("kmc,kmd->kcd", Gw, Gw, precision=_P)  # (K, C, C)
         Hxx = Gam[:, :w, :w]
         Hnn = Gam[:, w:2 * w, w:2 * w]
@@ -455,6 +472,8 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
         if mcg:
             Ggw = cones_g.apply_Winv_rows(rep_g, G_g[None])[0]
             Hgg = Hgg + Ggw.T @ Ggw
+        if meg:
+            Hgg = Hgg + rho * (A_geq.T @ A_geq)
         Cg_xx = Hgg + eps * jnp.eye(g, dtype=dtype)
         Cg = jnp.concatenate([
             jnp.concatenate([Cg_xx, A_geq.T], axis=1),
@@ -485,19 +504,23 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
         u3_g = cones_g.apply_Winv(
             rep_g, cones_g.apply_Winv(rep_g, rzWd[1][None]))[0]
         gt_st, gt_g = G_rmv(u3_st, u3_g)
-        r1 = (f1[0] - gt_st, f1[1] - gt_g)
+        lf_st, lf_g = A_rmv(rho * f2[0], rho * f2[1])
+        r1 = (f1[0] - gt_st + lf_st, f1[1] - gt_g + lf_g)
 
         dx, dy = kkt_raw_solve(fact, r1, f2)
         for _ in range(settings.refine_steps):
-            # exact residuals: H dx = G' W^-2 G dx
+            # exact residuals of the lifted system:
+            # H_lift dx = G' W^-2 G dx + rho A'A dx
             gx_st, gx_g = G_mv(*dx)
             wx_st = cones.apply_Winv(rep, cones.apply_Winv(rep, gx_st))
             wx_g = cones_g.apply_Winv(
                 rep_g, cones_g.apply_Winv(rep_g, gx_g[None]))[0]
             hx_st, hx_g = G_rmv(wx_st, wx_g)
-            at_st, at_g = A_rmv(*dy)
-            res1 = (r1[0] - hx_st - at_st, r1[1] - hx_g - at_g)
             ax_st, ax_g = A_mv(*dx)
+            lx_st, lx_g = A_rmv(rho * ax_st, rho * ax_g)
+            at_st, at_g = A_rmv(*dy)
+            res1 = (r1[0] - hx_st - lx_st - at_st,
+                    r1[1] - hx_g - lx_g - at_g)
             res2 = (f2[0] - ax_st, f2[1] - ax_g)
             cx, cy = kkt_raw_solve(fact, res1, res2)
             dx = (dx[0] + cx[0], dx[1] + cx[1])
@@ -531,6 +554,15 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
                       cones_g.min_shift(z0cg[None]))
     shift_d = jnp.where(t_d < -1e-8, 0.0, t_d + 1.0)
     z0 = (z0c + shift_d * e_st, z0cg + shift_d * e_g)
+
+    import os as _os
+    if _os.environ.get("SCPP_IPM_DEBUG"):
+        jax.debug.print(
+            "init |x0|={a:.3e} |s0|={b:.3e} |z0|={c:.3e} shift_p={d:.3e} "
+            "shift_d={e:.3e} |s_cand|={f:.3e} |z_cand|={g:.3e}",
+            a=jnp.max(jnp.abs(x0)), b=jnp.max(jnp.abs(s0[0])),
+            c=jnp.max(jnp.abs(z0[0])), d=shift_p, e=shift_d,
+            f=jnp.max(jnp.abs(s_cand[0])), g=jnp.max(jnp.abs(z0c)))
 
     bnorm = 1.0 + jnp.sqrt(
         jnp.sum((prog.b_eq) ** 2) + jnp.sum((prog.b_geq) ** 2)
@@ -619,15 +651,25 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
                (jnp.abs(gap) / nu_deg < settings.eps_feas)
 
         obj_now = dot((c_st, c_g), x)
+        import os as _os
+        if _os.environ.get("SCPP_IPM_DEBUG"):
+            jax.debug.print(
+                "pres={p:.3e} dres={d:.3e} gap={g:.3e} mu={m:.3e} "
+                "sig={s:.3e} a_aff={aa:.3e} a={a:.3e} obj={o:.3e}",
+                p=pres, d=dres, g=gap, m=mu, s=sigma, aa=alpha_aff,
+                a=alpha, o=obj_now)
         score = jnp.maximum(jnp.maximum(pres, dres),
                             jnp.abs(gap) / nu_deg / (1.0 + jnp.abs(obj_now)))
         score = jnp.where(jnp.isfinite(score), score, jnp.inf)
-        bx, bs, bscore = best
+        bx, by, bs, bz, bscore = best
         better = score < bscore
-        best = (
-            (jnp.where(better, x_st, bx[0]), jnp.where(better, x_g, bx[1])),
-            (jnp.where(better, s_st, bs[0]), jnp.where(better, s_g, bs[1])),
-            jnp.where(better, score, bscore))
+
+        def bsel(new, old):
+            return (jnp.where(better, new[0], old[0]),
+                    jnp.where(better, new[1], old[1]))
+
+        best = (bsel(x, bx), bsel(y, by), bsel(s, bs), bsel(z, bz),
+                jnp.where(better, score, bscore))
 
         finite = (jnp.all(jnp.isfinite(x_n[0])) & jnp.all(jnp.isfinite(x_n[1]))
                   & jnp.all(jnp.isfinite(s_n[0])) & jnp.all(jnp.isfinite(s_n[1]))
@@ -642,30 +684,41 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
         return (sel(x_n, x), sel(y_n, y), sel(s_n, s), sel(z_n, z),
                 done_n, best), None
 
-    best0 = ((x0, x0g), s0, jnp.asarray(jnp.inf, dtype))
+    best0 = ((x0, x0g), (y0, y0g), s0, z0, jnp.asarray(jnp.inf, dtype))
     carry0 = ((x0, x0g), (y0, y0g), s0, z0, jnp.asarray(False), best0)
     (_, _, _, _, _, best), _ = jax.lax.scan(body, carry0, None,
                                             length=settings.iters)
-    (x_st, x_g), (s_st, s_g), _ = best
+    (x_st, x_g), (y_st, y_g), (s_st, s_g), (z_st, z_g), _ = best
 
-    # unscale
+    # unscale to original data:  x = E x^,  y = D y^,  s = s^ / D
     x_st = x_st * E_st
     x_g = x_g * E_g
+    y_st = y_st * d_eq
+    y_g = y_g * d_geq if meg else y_g
+    z_st = z_st * d_c
+    z_g = z_g * d_cg if mcg else z_g
     s_st_u = s_st / d_c
     s_g_u = s_g / d_cg if mcg else s_g
 
     obj = jnp.sum(prog.c_stage * x_st) + jnp.sum(prog.c_glob * x_g)
 
     # original-space residuals for the caller
-    def orig_mv(Amat, A_g_mat):
+    def orig_mv(M_st, M_g):
         xc = jnp.concatenate(
             [x_st,
              jnp.concatenate([x_st[1:], jnp.zeros((1, w), dtype)], 0),
              jnp.broadcast_to(x_g, (K, g))], axis=1)
-        st = jnp.einsum("kmc,kc->km", Amat, xc, precision=_P)
-        gg = A_g_mat @ x_g if A_g_mat.shape[0] else \
-            jnp.zeros((A_g_mat.shape[0],), dtype)
+        st = jnp.einsum("kmc,kc->km", M_st, xc, precision=_P)
+        gg = M_g @ x_g if M_g.shape[0] else jnp.zeros((M_g.shape[0],), dtype)
         return st, gg
+
+    def orig_rmv(M_st, M_g, v_st, v_g):
+        xc = jnp.einsum("kmc,km->kc", M_st, v_st, precision=_P)
+        o_st = xc[:, :w].at[1:].add(xc[:-1, w:2 * w])
+        o_g = jnp.sum(xc[:, 2 * w:], axis=0)
+        if M_g.shape[0]:
+            o_g = o_g + M_g.T @ v_g
+        return o_st, o_g
 
     aeq_st, aeq_g = orig_mv(prog.A_eq, prog.A_geq)
     gc_st, gc_g = orig_mv(prog.G, prog.G_g)
@@ -675,14 +728,16 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
         + jnp.sum((gc_st + s_st_u - prog.h) ** 2)
         + jnp.sum((gc_g + s_g_u - prog.h_g) ** 2)) / bnorm
 
-    # dual residual from the scaled best iterate's dual (kept scaled):
-    # reuse the scaled-space rx at the best iterate is not tracked; report
-    # the scaled-space dual residual of the final best via recompute with
-    # the last y — conservative: recompute with best x only affects primal.
-    # For the caller-facing diagnostic we recompute dres on the last y.
-    res_dua = jnp.asarray(0.0, dtype)  # filled below
+    at_st, at_g = orig_rmv(prog.A_eq, prog.A_geq, y_st, y_g)
+    gt_st, gt_g = orig_rmv(prog.G, prog.G_g, z_st, z_g)
+    res_dua = jnp.sqrt(
+        jnp.sum((prog.c_stage + at_st + gt_st) ** 2)
+        + jnp.sum((prog.c_glob + at_g + gt_g) ** 2)) / cnorm
+
+    by = (jnp.sum(prog.b_eq * y_st) + jnp.sum(prog.b_geq * y_g)
+          + jnp.sum(prog.h * z_st) + jnp.sum(prog.h_g * z_g))
+    res_gap = jnp.abs(obj + by) / (1.0 + jnp.abs(obj) + jnp.abs(by))
 
     return StagedSolverResult(
         x_stage=x_st, x_glob=x_g, obj=obj,
-        res_pri=res_pri, res_dua=res_dua,
-        res_gap=jnp.asarray(0.0, dtype))
+        res_pri=res_pri, res_dua=res_dua, res_gap=res_gap)

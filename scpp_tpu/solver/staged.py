@@ -285,6 +285,74 @@ class StagedProgram:
     def mc(self) -> int:
         return self.G.shape[-2]
 
+    def to_dense(self):
+        """Lower to a flat :class:`ConicProgram` (oracle/debug path).
+
+        Column order: [x_0 | x_1 | ... | x_{K-1} | x_glob]; rows reordered
+        into the dense cone convention [all eq | all nonneg | SOC blocks].
+        """
+        from scpp_tpu.solver.builder import ConicProgram
+        K, w, g = self.K, self.w, self.g
+        n = K * w + g
+        dtype = self.A_eq.dtype
+
+        def expand(rows_staged):
+            """(K, m, 2w+g) -> (K*m, n)."""
+            m = rows_staged.shape[1]
+            out = jnp.zeros((K, m, n), dtype)
+            for k in range(K):
+                out = out.at[k, :, k * w:(k + 1) * w].set(
+                    rows_staged[k, :, :w])
+                if k + 1 < K:
+                    out = out.at[k, :, (k + 1) * w:(k + 2) * w].set(
+                        rows_staged[k, :, w:2 * w])
+                if g:
+                    out = out.at[k, :, K * w:].set(rows_staged[k, :, 2 * w:])
+            return out.reshape(K * m, n)
+
+        def expand_g(rows_g):
+            m = rows_g.shape[0]
+            out = jnp.zeros((m, n), dtype)
+            if g:
+                out = out.at[:, K * w:].set(rows_g)
+            return out
+
+        A_rows = [expand(self.A_eq), expand_g(self.A_geq)]
+        b_rows = [self.b_eq.reshape(-1), self.b_geq]
+        n_eq = K * self.me + self.A_geq.shape[0]
+
+        G_full = expand(self.G).reshape(K, self.mc, n)
+        A_rows.append(G_full[:, :self.l].reshape(-1, n))
+        b_rows.append(self.h[:, :self.l].reshape(-1))
+        if self.l_g:
+            A_rows.append(expand_g(self.G_g[:self.l_g]))
+            b_rows.append(self.h_g[:self.l_g])
+        n_ineq = K * self.l + self.l_g
+
+        soc_sizes = []
+        off = self.l
+        for q in self.soc_sizes:
+            for k in range(K):
+                A_rows.append(G_full[k, off:off + q])
+                b_rows.append(self.h[k, off:off + q])
+                soc_sizes.append(q)
+            off += q
+        off = self.l_g
+        for q in self.soc_sizes_g:
+            A_rows.append(expand_g(self.G_g[off:off + q]))
+            b_rows.append(self.h_g[off:off + q])
+            soc_sizes.append(q)
+            off += q
+
+        c = jnp.concatenate([self.c_stage.reshape(-1), self.c_glob])
+        var_layout = tuple(
+            (nm, 0, (0,)) for nm in ())  # dense extract unsupported
+        return ConicProgram(
+            A=jnp.concatenate(A_rows, axis=0),
+            b=jnp.concatenate(b_rows),
+            c=c, n_eq=n_eq, n_ineq=n_ineq,
+            soc_sizes=tuple(soc_sizes), var_layout=var_layout)
+
     def extract(self, sol, name: str) -> jnp.ndarray:
         """Pull a named variable out of a (x_stage: (..., K, w),
         x_glob: (..., g)) solution pair."""
