@@ -33,9 +33,11 @@ from flax import struct
 
 from scpp_tpu.algos.common import interval_resimulation, tree_select
 from scpp_tpu.algos.scvx import extract_norm1_nu
+from scpp_tpu.algos.staged_problems import build_sc_subproblem_staged
 from scpp_tpu.configs.algorithms import SCConfig
 from scpp_tpu.ops.discretization import multiple_shooting
 from scpp_tpu.solver import Aff, ConeProblemBuilder, concat, solve
+from scpp_tpu.solver.ipm_staged import solve_staged_ipm
 from scpp_tpu.trajectory import DiscretizationData, TrajectoryData
 
 __all__ = ["SCResult", "solve_sc", "build_sc_subproblem"]
@@ -162,9 +164,17 @@ def solve_sc(model, params, cfg: SCConfig = SCConfig(),
                    jnp.asarray(cfg.weight_trust_region_time, dtype),
                    w_tr,
                    jnp.asarray(cfg.weight_virtual_control, dtype))
-        prog = build_sc_subproblem(model, params, td, dd, weights, ref, fft,
-                                   cfg.l1_split)
-        res = solve(prog, cfg.solver)
+        if cfg.backend == "staged":
+            if not cfg.l1_split:
+                raise ValueError("backend='staged' requires l1_split=True "
+                                 "(the norm1_nu epigraph is not stage-local)")
+            prog = build_sc_subproblem_staged(model, params, td, dd, weights,
+                                              ref, fft)
+            res = solve_staged_ipm(prog, cfg.solver)
+        else:
+            prog = build_sc_subproblem(model, params, td, dd, weights, ref,
+                                       fft, cfg.l1_split)
+            res = solve(prog, cfg.solver)
 
         new_t = prog.extract(res.x, "sigma") if fft else td.t
         new_td = td.replace(X=prog.extract(res.x, "X"),

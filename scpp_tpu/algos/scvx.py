@@ -34,9 +34,11 @@ import jax.numpy as jnp
 from flax import struct
 
 from scpp_tpu.algos.common import nonlinear_defect_cost, tree_select
+from scpp_tpu.algos.staged_problems import build_scvx_subproblem_staged
 from scpp_tpu.configs.algorithms import SCvxConfig
 from scpp_tpu.ops.discretization import multiple_shooting
 from scpp_tpu.solver import Aff, ConeProblemBuilder, solve
+from scpp_tpu.solver.ipm_staged import solve_staged_ipm
 from scpp_tpu.trajectory import DiscretizationData, TrajectoryData
 
 __all__ = ["SCvxResult", "solve_scvx", "build_scvx_subproblem"]
@@ -164,10 +166,19 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
         x_trust = (jnp.asarray(trust, dtype) *
                    (cfg.state_trust_region / cfg.trust_region)
                    if cfg.state_trust_region else None)
-        prog = build_scvx_subproblem(model, params, td, dd,
-                                     jnp.asarray(trust, dtype), w_nu, ref,
-                                     cfg.l1_split, x_trust)
-        res = solve(prog, cfg.solver)
+        if cfg.backend == "staged":
+            if not cfg.l1_split:
+                raise ValueError("backend='staged' requires l1_split=True "
+                                 "(the norm1_nu epigraph is not stage-local)")
+            prog = build_scvx_subproblem_staged(
+                model, params, td, dd, jnp.asarray(trust, dtype), w_nu, ref,
+                x_trust)
+            res = solve_staged_ipm(prog, cfg.solver)
+        else:
+            prog = build_scvx_subproblem(model, params, td, dd,
+                                         jnp.asarray(trust, dtype), w_nu, ref,
+                                         cfg.l1_split, x_trust)
+            res = solve(prog, cfg.solver)
 
         new_td = td.replace(X=prog.extract(res.x, "X"),
                             U=prog.extract(res.x, "U"))

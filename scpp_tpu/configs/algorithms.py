@@ -51,6 +51,10 @@ class SCvxConfig:
     sim_substeps: int = 12
     integrator: str = "dopri5"
     l1_split: bool = True   # nu = nu+ - nu- encoding (see build_scvx_subproblem)
+    # "staged": block-tridiagonal KKT IPM on the stage-banded emission
+    # (O(K w^3), the TPU speed path); "dense": flat emission + dense-KKT
+    # IPM (oracle path; required for l1_split=False)
+    backend: str = "staged"
     solver: object = IPMSettings(iters=30)
 
     @staticmethod
@@ -93,6 +97,7 @@ class SCConfig:
     sim_substeps: int = 12
     integrator: str = "dopri5"
     l1_split: bool = True   # nu = nu+ - nu- encoding (see build_sc_subproblem)
+    backend: str = "staged"  # see SCvxConfig.backend
     solver: object = IPMSettings(iters=30)
 
     @staticmethod

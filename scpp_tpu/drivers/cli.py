@@ -45,6 +45,12 @@ def _setup(args, algo_cfg_name, cfg_cls, **cfg_kwargs):
     model = MODEL_REGISTRY[args.model]
     params = model.default_params()
     if args.config_dir:
+        # model physics + boundary conditions (rocket2d.cpp:150-195,
+        # rocketQuat.cpp:234-289): the reference's "edit model.info,
+        # rerun" workflow
+        model_info = os.path.join(args.config_dir, "model.info")
+        if os.path.exists(model_info):
+            params = model.from_info(model_info)
         path = os.path.join(args.config_dir, f"{algo_cfg_name}.info")
         if algo_cfg_name in ("MPC", "LQR"):
             cfg = cfg_cls.from_info(path, model.state_dim, model.input_dim,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from scpp_tpu.models.mathlib import deg2rad, rot2d
@@ -77,6 +78,42 @@ class Rocket2D:
                 f([0.0, 0.0]), f([0.0, -1.0]), f([0.0]), f([0.0])]),
             final_time=f(12.0),
         )
+
+    @staticmethod
+    def from_info(path: str, dtype=None, **overrides) -> Rocket2DParams:
+        """Load physics + boundary conditions from a reference-format
+        ``model.info`` (rocket2d.cpp:150-195). Angles are degrees in the
+        file; ``add_slack_variables`` is accepted and ignored (the
+        reference parses it but no constraint in the snapshot uses it)."""
+        from scpp_tpu.utils.info_parser import InfoFile
+        f = InfoFile(path)
+        g = (lambda v: jnp.asarray(v, dtype=dtype))
+        eta_init = deg2rad(g(f.load_scalar("eta_init")))
+        eta_final = deg2rad(g(f.load_scalar("eta_final")))
+        w_init = deg2rad(g(f.load_scalar("w_init")))
+        w_final = deg2rad(g(f.load_scalar("w_final")))
+        p = Rocket2DParams(
+            m=g(f.load_scalar("m")),
+            J_B=g(f.load_scalar("J_B")),
+            g_I=g(f.load_vector("g_I", 2)),
+            r_T_B=g(f.load_vector("r_T_B", 2)),
+            T_min=g(f.load_scalar("T_min")),
+            T_max=g(f.load_scalar("T_max")),
+            gamma_gs=deg2rad(g(f.load_scalar("gamma_gs"))),
+            gimbal_max=deg2rad(g(f.load_scalar("gimbal_max"))),
+            theta_max=deg2rad(g(f.load_scalar("theta_max"))),
+            w_B_max=deg2rad(g(f.load_scalar("w_B_max"))),
+            x_init=jnp.concatenate([
+                g(f.load_vector("r_init", 2)), g(f.load_vector("v_init", 2)),
+                eta_init[None], w_init[None]]),
+            x_final=jnp.concatenate([
+                g(f.load_vector("r_final", 2)), g(f.load_vector("v_final", 2)),
+                eta_final[None], w_final[None]]),
+            final_time=g(f.load_scalar("final_time")),
+            constrain_initial_final=f.load_scalar("constrain_initial_final",
+                                                  bool),
+        )
+        return p.replace(**overrides) if overrides else p
 
     @staticmethod
     def param_vector(p: Rocket2DParams) -> jnp.ndarray:
@@ -160,6 +197,34 @@ class Rocket2D:
         # thrust box
         pb.add_nonneg(v_U[:, 1] - p.T_min)
         pb.add_nonneg(p.T_max - v_U[:, 1])
+
+    @staticmethod
+    def constraints_staged(sb, x, u, p: Rocket2DParams, ref=(), n_U=None):
+        """Same constraint set as :meth:`constraints`, emitted as vectorized
+        node families for the stage-banded builder (rocket2d.cpp:46-84)."""
+        K = sb.K
+        n_U = K if n_U is None else n_U
+        un = np.arange(n_U)
+
+        if p.constrain_initial_final:
+            sb.eq(x.sel() - p.x_init, nodes=[0])
+            sb.eq(x.sel() - p.x_final, nodes=[K - 1])
+            sb.eq(u.sel(0), nodes=[n_U - 1])  # zero final gimbal
+
+        # glideslope |x| <= tan(gamma_gs) * y at every node
+        sb.soc(x.sel(1) * jnp.tan(p.gamma_gs), x.sel(0))
+        # tilt box
+        sb.nonneg(-x.sel(4) + p.theta_max)
+        sb.nonneg(x.sel(4) + p.theta_max)
+        # angular velocity box
+        sb.nonneg(-x.sel(5) + p.w_B_max)
+        sb.nonneg(x.sel(5) + p.w_B_max)
+        # gimbal box
+        sb.nonneg(-u.sel(0) + p.gimbal_max, nodes=un)
+        sb.nonneg(u.sel(0) + p.gimbal_max, nodes=un)
+        # thrust box
+        sb.nonneg(u.sel(1) - p.T_min, nodes=un)
+        sb.nonneg(-u.sel(1) + p.T_max, nodes=un)
 
     @staticmethod
     def clamp_input(p: Rocket2DParams, u):

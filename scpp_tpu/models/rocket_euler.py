@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from scpp_tpu.models.mathlib import (
@@ -90,6 +91,44 @@ class RocketEuler:
             x_final=x_final,
             final_time=f(12.0),
         )
+
+    @staticmethod
+    def from_info(path: str, dtype=None, **overrides) -> RocketEulerParams:
+        """Load physics + boundary conditions from a RocketQuat-format
+        ``model.info`` (same file layout; the rpy_init/rpy_final blocks map
+        directly onto the Euler-angle state instead of a quaternion)."""
+        from scpp_tpu.utils.info_parser import InfoFile
+        f = InfoFile(path)
+        g = (lambda v: jnp.asarray(v, dtype=dtype))
+        g_I = g(f.load_vector("g_I", 3))
+        I_sp = f.load_scalar("I_sp")
+        p = RocketEulerParams(
+            alpha_m=1.0 / (I_sp * jnp.abs(g_I[2])),
+            g_I=g_I,
+            J_B=g(f.load_vector("J_B", 3)),
+            r_T_B=g(f.load_vector("r_T_B", 3)),
+            T_min=g(f.load_scalar("T_min")),
+            T_max=g(f.load_scalar("T_max")),
+            t_max=g(f.load_scalar("t_max")),
+            gamma_gs=deg2rad(g(f.load_scalar("gamma_gs"))),
+            gimbal_max=deg2rad(g(f.load_scalar("gimbal_max"))),
+            theta_max=deg2rad(g(f.load_scalar("theta_max"))),
+            w_B_max=deg2rad(g(f.load_scalar("w_B_max"))),
+            x_init=jnp.concatenate([
+                g(f.load_scalar("m_init"))[None],
+                g(f.load_vector("r_init", 3)), g(f.load_vector("v_init", 3)),
+                deg2rad(g(f.load_vector("rpy_init", 3))),
+                deg2rad(g(f.load_vector("w_init", 3)))]),
+            x_final=jnp.concatenate([
+                g(f.load_scalar("m_dry"))[None],
+                g(f.load_vector("r_final", 3)), g(f.load_vector("v_final", 3)),
+                deg2rad(g(f.load_vector("rpy_final", 3))),
+                deg2rad(g(f.load_vector("w_final", 3)))]),
+            final_time=g(f.load_scalar("final_time")),
+            exact_minimum_thrust=f.load_scalar("exact_minimum_thrust", bool),
+            enable_roll_control=f.load_scalar("enable_roll_control", bool),
+        )
+        return p.replace(**overrides) if overrides else p
 
     @staticmethod
     def param_vector(p: RocketEulerParams) -> jnp.ndarray:
@@ -192,6 +231,48 @@ class RocketEuler:
         else:
             pb.add_eq(v_X[:, 12])
             pb.add_eq(v_U[:, 3])
+
+    # final-state components pinned at node K-1: all except mass (0) and
+    # roll angle (9): free roll
+    _FINAL_PIN = (1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12)
+
+    @staticmethod
+    def constraints_staged(sb, x, u, p: RocketEulerParams, ref=(), n_U=None):
+        """Same constraint set as :meth:`constraints`, emitted as vectorized
+        node families for the stage-banded builder."""
+        K = sb.K
+        n_U = K if n_U is None else n_U
+        un = np.arange(n_U)
+        pin = list(RocketEuler._FINAL_PIN)
+
+        sb.eq(x.sel() - p.x_init, nodes=[0])
+        sb.eq(x.sel(pin) - p.x_final[jnp.asarray(pin)], nodes=[K - 1])
+
+        sb.nonneg(x.sel(0) - p.x_final[0])
+
+        sb.soc(x.sel(3) * jnp.tan(p.gamma_gs), x.sel([1, 2]))
+        # tilt as a 2-norm bound on roll/pitch Euler angles
+        sb.soc(p.theta_max, x.sel([7, 8]))
+        sb.soc(p.w_B_max, x.sel([10, 11, 12]))
+
+        sb.eq(u.sel([0, 1, 3]), nodes=[n_U - 1])
+
+        if p.exact_minimum_thrust:
+            (n_hat,) = ref
+            sb.nonneg(u.lin(n_hat[:, None, :], idx=[0, 1, 2]) - p.T_min,
+                      nodes=un)
+        else:
+            sb.nonneg(u.sel(2) - p.T_min, nodes=un)
+
+        sb.soc(p.T_max, u.sel([0, 1, 2]), nodes=un)
+        sb.soc(u.sel(2) * jnp.tan(p.gimbal_max), u.sel([0, 1]), nodes=un)
+
+        if p.enable_roll_control:
+            sb.nonneg(-u.sel(3) + p.t_max, nodes=un)
+            sb.nonneg(u.sel(3) + p.t_max, nodes=un)
+        else:
+            sb.eq(x.sel(12))
+            sb.eq(u.sel(3), nodes=un)
 
     @staticmethod
     def clamp_input(p: RocketEulerParams, u):

@@ -156,8 +156,8 @@ def node_concat(exprs) -> NodeExpr:
     batched = None
     for e in exprs:
         c = e.const
-        if not np.isscalar(c) and np.asarray(c).ndim == 2:
-            batched = np.asarray(c).shape[0] if _is_static(c) else c.shape[0]
+        if not np.isscalar(c) and getattr(c, "ndim", 0) == 2:
+            batched = c.shape[0]
     for e in exprs:
         c = e.const
         c = np.atleast_1d(c) if _is_static(c) else jnp.atleast_1d(c)
@@ -430,7 +430,7 @@ class StagedBuilder:
                     f"batched coeff for {key} has {M.shape[0]} slices for "
                     f"{idx.size} nodes")
         c = expr.const
-        if not np.isscalar(c) and np.asarray(c).ndim == 2 \
+        if not np.isscalar(c) and getattr(c, "ndim", 0) == 2 \
                 and c.shape[0] != idx.size:
             raise ValueError("batched const node-count mismatch")
         return idx
@@ -444,7 +444,9 @@ class StagedBuilder:
         self._nonneg.append((expr, self._nodes(expr, nodes)))
 
     def soc(self, t: NodeExpr, z: NodeExpr, nodes=None):
-        """||z||_2 <= t at each selected node."""
+        """||z||_2 <= t at each selected node; t may be a plain scalar."""
+        if not isinstance(t, NodeExpr):
+            t = NodeExpr._const(t, 1)
         if t.dim != 1:
             raise ValueError("SOC t must be scalar")
         stacked = node_concat([t, z])

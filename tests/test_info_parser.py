@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -78,3 +80,59 @@ def test_reference_config_files_ingest():
 def test_nested_parse():
     tree = parse_info("a { b { c 1 } d 2 }\n")
     assert tree == {"a": {"b": {"c": "1"}, "d": "2"}}
+
+
+# ---- model.info physics ingestion (rocket2d.cpp:150-195, rocketQuat.cpp:234-289)
+
+REF_CFG = "/root/reference/scpp_models/config"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CFG), reason="reference absent")
+def test_rocket2d_model_info_matches_defaults():
+    """The stock Rocket2D model.info must reproduce default_params exactly
+    (the defaults were transcribed from that file)."""
+    from scpp_tpu.models import Rocket2D
+    p_file = Rocket2D.from_info(os.path.join(REF_CFG, "Rocket2D/model.info"))
+    p_def = Rocket2D.default_params()
+    for name in ("m", "J_B", "g_I", "r_T_B", "T_min", "T_max", "gamma_gs",
+                 "gimbal_max", "theta_max", "w_B_max", "x_init", "x_final",
+                 "final_time"):
+        np.testing.assert_allclose(np.asarray(getattr(p_file, name)),
+                                   np.asarray(getattr(p_def, name)),
+                                   rtol=1e-12, err_msg=name)
+    assert p_file.constrain_initial_final is True
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CFG), reason="reference absent")
+def test_rocketquat_model_info_matches_defaults():
+    from scpp_tpu.models import RocketQuat
+    p_file = RocketQuat.from_info(
+        os.path.join(REF_CFG, "RocketQuat/model.info"))
+    p_def = RocketQuat.default_params()
+    for name in ("alpha_m", "J_B", "g_I", "r_T_B", "T_min", "T_max", "t_max",
+                 "gamma_gs", "gimbal_max", "theta_max", "w_B_max", "x_init",
+                 "x_final", "final_time"):
+        np.testing.assert_allclose(np.asarray(getattr(p_file, name)),
+                                   np.asarray(getattr(p_def, name)),
+                                   rtol=1e-12, err_msg=name)
+    assert p_file.exact_minimum_thrust is True
+    assert p_file.enable_roll_control is False
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CFG), reason="reference absent")
+def test_rocketeuler_model_info_ingests_quat_config():
+    """RocketEuler consumes the RocketQuat file with rpy kept as Euler."""
+    from scpp_tpu.models import RocketEuler
+    p = RocketEuler.from_info(os.path.join(REF_CFG, "RocketQuat/model.info"))
+    np.testing.assert_allclose(np.asarray(p.x_init[7:10]),
+                               np.deg2rad([-20.0, 20.0, 0.0]), rtol=1e-12)
+    assert p.x_init.shape == (13,)
+
+
+def test_model_info_overrides():
+    from scpp_tpu.models import Rocket2D
+    path = os.path.join(REF_CFG, "Rocket2D/model.info")
+    if not os.path.exists(path):
+        pytest.skip("reference absent")
+    p = Rocket2D.from_info(path, constrain_initial_final=False)
+    assert p.constrain_initial_final is False
