@@ -26,7 +26,8 @@ def scvx_result():
     # by test_scvx_infeasible_final_time_yields_virtual_control.
     cfg = SCvxConfig(K=20, max_iterations=25, solve_budget=35,
                      nondimensionalize=True, change_threshold=1e-6,
-                     l1_split=False, state_trust_region=5.0)
+                     l1_split=False, backend="dense",
+                     state_trust_region=5.0)
     p = Rocket2D.default_params()
     p = p.replace(final_time=jnp.asarray(16.0))
     res = solve_scvx(Rocket2D, p, cfg)
@@ -111,13 +112,20 @@ def test_scvx_infeasible_final_time_yields_virtual_control():
 
 
 def test_scvx_vmapped_scenarios():
-    """Batched solves over dispersed initial states stay independent:
-    batch results match the corresponding single solves bitwise-close."""
+    """Batched solves over dispersed initial states stay independent.
+
+    Within one compiled program, duplicated scenarios must be bitwise
+    identical (no cross-scenario coupling in the batched solver). Across
+    programs (batched vs single) only loose agreement is asserted: ulp-level
+    fusion differences between the two compilations flip accept/reject
+    branches in the ratio test (see the fixture note above), so bitwise
+    cross-program equality is not a property the algorithm has.
+    """
     cfg = SCvxConfig(K=10, max_iterations=6, solve_budget=8,
                      nondimensionalize=True,
                      solver=IPMSettings(iters=20))
     p = Rocket2D.default_params()
-    offsets = jnp.asarray([0.0, 10.0, -15.0])
+    offsets = jnp.asarray([0.0, 10.0, -15.0, 10.0])
 
     def one(dx):
         pp = p.replace(x_init=p.x_init.at[0].add(dx),
@@ -125,9 +133,13 @@ def test_scvx_vmapped_scenarios():
         return solve_scvx(Rocket2D, pp, cfg).td.X
 
     batched = jax.vmap(one)(offsets)
+    # independence: scenarios 1 and 3 are identical inputs
+    np.testing.assert_array_equal(np.asarray(batched[1]),
+                                  np.asarray(batched[3]))
+    # cross-program: trajectories agree to well under the 1e-3 parity target
     single = one(offsets[1])
     np.testing.assert_allclose(np.asarray(batched[1]), np.asarray(single),
-                               rtol=1e-6, atol=1e-8)
+                               rtol=1e-3, atol=1e-4)
 
 
 def test_scvx_state_trust_region_rocketquat():
