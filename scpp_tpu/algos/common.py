@@ -8,7 +8,8 @@ import jax.numpy as jnp
 from scpp_tpu.ops.simulation import simulate
 from scpp_tpu.trajectory import TrajectoryData
 
-__all__ = ["tree_select", "interval_resimulation", "nonlinear_defect_cost"]
+__all__ = ["tree_select", "interval_resimulation", "nonlinear_defect_cost",
+           "linear_defect_cost"]
 
 
 def tree_select(pred, a, b):
@@ -40,3 +41,28 @@ def nonlinear_defect_cost(model, par, td: TrajectoryData, substeps: int = 12,
     """J = sum_k || resim(x_k) - x_{k+1} ||_1 (SCvxAlgorithm.cpp:262-278)."""
     x_end = interval_resimulation(model, par, td, substeps, method)
     return jnp.sum(jnp.abs(x_end - td.X[1:]))
+
+
+def linear_defect_cost(td: TrajectoryData, dd, sigma=None):
+    """L = sum_k || A x_k + B u_k (+ C u_{k+1}) (+ s sigma) + z - x_{k+1} ||_1
+    of a subproblem *solution* — the linear-model analog of
+    :func:`nonlinear_defect_cost`.
+
+    At an exact subproblem optimum this equals the reference's norm1_nu
+    (the optimal virtual control is exactly the linear defect of X, U;
+    SCvxProblem.cpp:40-56).  Reading it off the returned trajectory instead
+    of the nu variables matters under an *inexact* conic solve: the split
+    nu+ - nu- (or epigraph) variables sit mu-deep in the cone interior, so
+    norm1_nu carries solver-gap noise that scales with the trust radius —
+    which corrupted the ratio test into accepting divergent steps (L and J
+    grew in lockstep with rho ~ 1 until NaN).  The linear defect of the
+    actual (X, U) iterate is exact regardless of solver accuracy.
+    """
+    x_pred = (jnp.einsum("kij,kj->ki", dd.A, td.X[:-1])
+              + jnp.einsum("kij,kj->ki", dd.B, td.U[: td.n_X - 1])
+              + dd.z)
+    if td.interpolated_input:
+        x_pred = x_pred + jnp.einsum("kij,kj->ki", dd.C, td.U[1:])
+    if sigma is not None:
+        x_pred = x_pred + dd.s * sigma
+    return jnp.sum(jnp.abs(x_pred - td.X[1:]))

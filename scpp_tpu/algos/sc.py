@@ -31,8 +31,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from scpp_tpu.algos.common import interval_resimulation, tree_select
-from scpp_tpu.algos.scvx import extract_norm1_nu
+from scpp_tpu.algos.common import (interval_resimulation,
+                                   linear_defect_cost, tree_select)
 from scpp_tpu.algos.staged_problems import build_sc_subproblem_staged
 from scpp_tpu.configs.algorithms import SCConfig
 from scpp_tpu.ops.discretization import multiple_shooting
@@ -180,7 +180,11 @@ def solve_sc(model, params, cfg: SCConfig = SCConfig(),
         new_td = td.replace(X=prog.extract(res.x, "X"),
                             U=prog.extract(res.x, "U"),
                             t=new_t)
-        norm1 = extract_norm1_nu(prog, res.x, cfg.l1_split)
+        # ||nu||_1 from the linear defect of the returned iterate, not the
+        # nu variables — identical at an exact optimum, noise-free under
+        # inexact conic solves (see linear_defect_cost)
+        norm1 = linear_defect_cost(new_td, dd,
+                                   sigma=new_t if fft else None)
         sum_delta = jnp.sum(prog.extract(res.x, "delta"))
         dsig = prog.extract(res.x, "delta_sigma") if fft \
             else jnp.zeros((), dtype)

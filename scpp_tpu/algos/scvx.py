@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from scpp_tpu.algos.common import nonlinear_defect_cost, tree_select
+from scpp_tpu.algos.common import (linear_defect_cost, nonlinear_defect_cost,
+                                   tree_select)
 from scpp_tpu.algos.staged_problems import build_scvx_subproblem_staged
 from scpp_tpu.configs.algorithms import SCvxConfig
 from scpp_tpu.ops.discretization import multiple_shooting
@@ -182,7 +183,10 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
 
         new_td = td.replace(X=prog.extract(res.x, "X"),
                             U=prog.extract(res.x, "U"))
-        L = extract_norm1_nu(prog, res.x, cfg.l1_split)
+        # L from the linear defect of the returned iterate, not norm1_nu —
+        # identical at an exact optimum, robust under inexact conic solves
+        # (see linear_defect_cost)
+        L = linear_defect_cost(new_td, dd)
         J_new = nonlinear_defect_cost(model, par, new_td, cfg.sim_substeps,
                                       cfg.integrator)
 

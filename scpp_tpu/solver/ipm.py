@@ -58,6 +58,11 @@ class IPMSettings:
     # them (a raw fp32 Cholesky solve of the reduced system carries ~1e-2
     # relative error, which caps the achievable primal residual at ~1e-3)
     refine_steps: int = struct.field(pytree_node=False, default=2)
+    # staged-backend KKT engine: "cr" = cyclic reduction (log2 K levels of
+    # batched block ops — the TPU speed path), "seq" = sequential stagewise
+    # factorization (O(K) scan; reference/oracle path). Ignored by the
+    # dense backend.
+    kkt: str = struct.field(pytree_node=False, default="cr")
 
 
 class _ConeOps:

@@ -34,8 +34,8 @@ from flax import struct
 from scpp_tpu.solver.ipm import IPMSettings
 from scpp_tpu.solver.staged import StagedProgram
 from scpp_tpu.solver.staged_kkt import (
-    arrow_factor, arrow_solve, signed_block_tridiag_factor,
-    signed_block_tridiag_solve,
+    arrow_factor, arrow_solve, cr_arrow_factor, cr_arrow_solve, cr_factor,
+    cr_solve, signed_block_tridiag_factor, signed_block_tridiag_solve,
 )
 
 __all__ = ["solve_staged_ipm", "StagedSolverResult"]
@@ -371,6 +371,24 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
     c_st = prog.c_stage * E_st
     c_g = prog.c_glob * E_g
 
+    # cost/rhs normalization (the part of equilibration Ruiz cannot see):
+    # the virtual-control weight puts ~1e3 entries in c, so without this
+    # the dual initialization starts at |z| ~ 1e3, mu_0 ~ 1e3 and the
+    # predictor-corrector spends its budget scaling down — and stalls.
+    # x is invariant; (y, z, s-complement) scale back by c_scale below.
+    c_scale = jnp.maximum(1.0, jnp.maximum(jnp.max(jnp.abs(c_st)),
+                                           jnp.max(jnp.abs(c_g))
+                                           if g else 0.0))
+    b_scale = jnp.maximum(1.0, jnp.sqrt(
+        jnp.sum(b_eq ** 2) + jnp.sum(b_geq ** 2)
+        + jnp.sum(h ** 2) + jnp.sum(h_g ** 2)))
+    c_st = c_st / c_scale
+    c_g = c_g / c_scale
+    b_eq = b_eq / b_scale
+    h = h / b_scale
+    b_geq = b_geq / b_scale
+    h_g = h_g / b_scale
+
     cones = _BatchCones(K, prog.l, prog.soc_sizes)
     cones_g = _BatchCones(1, prog.l_g, prog.soc_sizes_g)
     mc, mcg = cones.mc, cones_g.mc
@@ -456,6 +474,8 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
             jnp.zeros((K - 1, me, Wp), dtype)], axis=1)
 
         if gm == 0:
+            if settings.kkt == "cr":
+                return ("cr",) + cr_factor(D, O, w)
             L_diag, C_sub = signed_block_tridiag_factor(D, O, w)
             return ("banded", L_diag, C_sub)
 
@@ -479,6 +499,8 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
             jnp.concatenate([Cg_xx, A_geq.T], axis=1),
             jnp.concatenate([A_geq, -delta * jnp.eye(meg, dtype=dtype)],
                             axis=1)], axis=0)
+        if settings.kkt == "cr":
+            return ("cr_arrow",) + cr_arrow_factor(D, O, Bg, Cg, w, g)
         fact = arrow_factor(D, O, Bg, Cg, w, g)
         return ("arrow",) + fact
 
@@ -487,13 +509,20 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
         rx_st, rx_g = r_x
         ry_st, ry_g = r_y
         b_stage = jnp.concatenate([rx_st, ry_st], axis=1)       # (K, Wp)
-        if fact[0] == "banded":
-            sol = signed_block_tridiag_solve(fact[1], fact[2], w, b_stage)
+        if fact[0] in ("banded", "cr"):
+            if fact[0] == "cr":
+                sol = cr_solve(fact[1:], b_stage)
+            else:
+                sol = signed_block_tridiag_solve(fact[1], fact[2], w,
+                                                 b_stage)
             dx_st, dy_st = sol[:, :w], sol[:, w:]
             return (dx_st, jnp.zeros((g,), dtype)), \
                    (dy_st, jnp.zeros((meg,), dtype))
         b_glob = jnp.concatenate([rx_g, ry_g])
-        sol_st, sol_g = arrow_solve(fact[1:], b_stage, b_glob)
+        if fact[0] == "cr_arrow":
+            sol_st, sol_g = cr_arrow_solve(fact[1:], b_stage, b_glob)
+        else:
+            sol_st, sol_g = arrow_solve(fact[1:], b_stage, b_glob)
         return (sol_st[:, :w], sol_g[:g]), (sol_st[:, w:], sol_g[g:])
 
     def kkt_solve(fact, rep, rep_g, f1, f2, rzWd):
@@ -564,11 +593,15 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
             c=jnp.max(jnp.abs(z0[0])), d=shift_p, e=shift_d,
             f=jnp.max(jnp.abs(s_cand[0])), g=jnp.max(jnp.abs(z0c)))
 
-    bnorm = 1.0 + jnp.sqrt(
-        jnp.sum((prog.b_eq) ** 2) + jnp.sum((prog.b_geq) ** 2)
-        + jnp.sum((prog.h) ** 2) + jnp.sum((prog.h_g) ** 2))
-    cnorm = 1.0 + jnp.sqrt(
-        jnp.sum((prog.c_stage) ** 2) + jnp.sum((prog.c_glob) ** 2))
+    # in-loop residuals: un-Ruiz'd scaled residuals, scaled back to original
+    # units and normalized by the original data norms
+    bnorm_o = 1.0 + jnp.sqrt(
+        jnp.sum(prog.b_eq ** 2) + jnp.sum(prog.b_geq ** 2)
+        + jnp.sum(prog.h ** 2) + jnp.sum(prog.h_g ** 2))
+    cnorm_o = 1.0 + jnp.sqrt(
+        jnp.sum(prog.c_stage ** 2) + jnp.sum(prog.c_glob ** 2))
+    pres_fac = b_scale / bnorm_o
+    dres_fac = c_scale / cnorm_o
 
     def body(carry, _):
         x, y, s, z, done, best = carry
@@ -643,14 +676,20 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
             jnp.sum((ry[0] / d_eq) ** 2)
             + (jnp.sum((ry[1] / d_geq) ** 2) if meg else 0.0)
             + jnp.sum((rz[0] / d_c) ** 2)
-            + (jnp.sum((rz[1] / d_cg) ** 2) if mcg else 0.0)) / bnorm
+            + (jnp.sum((rz[1] / d_cg) ** 2) if mcg else 0.0)) * pres_fac
         dres = jnp.sqrt(
             jnp.sum((rx[0] / E_st) ** 2)
-            + (jnp.sum((rx[1] / E_g) ** 2) if g else 0.0)) / cnorm
-        conv = (pres < settings.eps_feas) & (dres < settings.eps_feas) & \
-               (jnp.abs(gap) / nu_deg < settings.eps_feas)
-
+            + (jnp.sum((rx[1] / E_g) ** 2) if g else 0.0)) * dres_fac
         obj_now = dot((c_st, c_g), x)
+        # gap criterion *relative to the objective*, not spread over the
+        # cone degree: after c/b normalization the optimal objective can be
+        # ~1e-5 in scaled units, and an absolute per-cone tolerance lets the
+        # loop declare victory with an O(1) relative gap — the iterate is
+        # feasible but badly suboptimal, which corrupted the SCvx ratio test
+        relgap = jnp.abs(gap) / jnp.maximum(1.0, jnp.abs(obj_now))
+        conv = (pres < settings.eps_feas) & (dres < settings.eps_feas) & \
+               (relgap < settings.eps_feas)
+
         import os as _os
         if _os.environ.get("SCPP_IPM_DEBUG"):
             jax.debug.print(
@@ -658,8 +697,7 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
                 "sig={s:.3e} a_aff={aa:.3e} a={a:.3e} obj={o:.3e}",
                 p=pres, d=dres, g=gap, m=mu, s=sigma, aa=alpha_aff,
                 a=alpha, o=obj_now)
-        score = jnp.maximum(jnp.maximum(pres, dres),
-                            jnp.abs(gap) / nu_deg / (1.0 + jnp.abs(obj_now)))
+        score = jnp.maximum(jnp.maximum(pres, dres), relgap)
         score = jnp.where(jnp.isfinite(score), score, jnp.inf)
         bx, by, bs, bz, bscore = best
         better = score < bscore
@@ -690,15 +728,15 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
                                             length=settings.iters)
     (x_st, x_g), (y_st, y_g), (s_st, s_g), (z_st, z_g), _ = best
 
-    # unscale to original data:  x = E x^,  y = D y^,  s = s^ / D
-    x_st = x_st * E_st
-    x_g = x_g * E_g
-    y_st = y_st * d_eq
-    y_g = y_g * d_geq if meg else y_g
-    z_st = z_st * d_c
-    z_g = z_g * d_cg if mcg else z_g
-    s_st_u = s_st / d_c
-    s_g_u = s_g / d_cg if mcg else s_g
+    # unscale to original data:  x = E x^ b_s,  y = D y^ c_s,  s = s^ b_s / D
+    x_st = x_st * E_st * b_scale
+    x_g = x_g * E_g * b_scale
+    y_st = y_st * d_eq * c_scale
+    y_g = y_g * d_geq * c_scale if meg else y_g
+    z_st = z_st * d_c * c_scale
+    z_g = z_g * d_cg * c_scale if mcg else z_g
+    s_st_u = s_st / d_c * b_scale
+    s_g_u = s_g / d_cg * b_scale if mcg else s_g
 
     obj = jnp.sum(prog.c_stage * x_st) + jnp.sum(prog.c_glob * x_g)
 
@@ -726,13 +764,13 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
         jnp.sum((aeq_st - prog.b_eq) ** 2)
         + jnp.sum((aeq_g - prog.b_geq) ** 2)
         + jnp.sum((gc_st + s_st_u - prog.h) ** 2)
-        + jnp.sum((gc_g + s_g_u - prog.h_g) ** 2)) / bnorm
+        + jnp.sum((gc_g + s_g_u - prog.h_g) ** 2)) / bnorm_o
 
     at_st, at_g = orig_rmv(prog.A_eq, prog.A_geq, y_st, y_g)
     gt_st, gt_g = orig_rmv(prog.G, prog.G_g, z_st, z_g)
     res_dua = jnp.sqrt(
         jnp.sum((prog.c_stage + at_st + gt_st) ** 2)
-        + jnp.sum((prog.c_glob + at_g + gt_g) ** 2)) / cnorm
+        + jnp.sum((prog.c_glob + at_g + gt_g) ** 2)) / cnorm_o
 
     by = (jnp.sum(prog.b_eq * y_st) + jnp.sum(prog.b_geq * y_g)
           + jnp.sum(prog.h * z_st) + jnp.sum(prog.h_g * z_g))

@@ -41,6 +41,7 @@ from jax.scipy.linalg import solve_triangular
 __all__ = [
     "signed_cholesky", "signed_block_tridiag_factor",
     "signed_block_tridiag_solve", "arrow_factor", "arrow_solve",
+    "cr_factor", "cr_solve", "cr_arrow_factor", "cr_arrow_solve",
 ]
 
 _P = jax.lax.Precision.HIGHEST
@@ -144,6 +145,159 @@ def signed_block_tridiag_solve(L_diag, C_sub, p: int, b):
     u = _fwd(L_diag, C_sub, sig, b)
     x = _bwd(L_diag, C_sub, sig, sig[:, None] * u)
     return x[..., 0] if squeeze else x
+
+
+# ---------------------------------------------------------------------------
+# Cyclic reduction (block odd-even elimination)
+#
+# The sequential factor/solve above serializes K stages; inside a jitted
+# IPM loop that is ~hundreds of tiny latency-bound ops per iteration — the
+# dominant cost on TPU (measured: ~15 ms per IPM iteration at K=30).
+# Cyclic reduction eliminates the odd-indexed stages of the quasidefinite
+# system level by level: ceil(log2 K) levels, each one a handful of ops
+# *batched over all eliminated stages* — MXU-shaped batched Cholesky /
+# matmuls instead of a K-step scan.  Quasidefiniteness is closed under
+# Schur complements onto principal submatrices with the same per-stage
+# signature (Vanderbei 1995), so every level factors with the same signed
+# Cholesky and no pivoting.
+#
+# Triangular factors are inverted explicitly once per factorization
+# (one batched triangular solve against I); the solve sweeps are then
+# pure batched matmuls, which matters because each IPM iteration reuses
+# one factorization for ~6 solves.
+# ---------------------------------------------------------------------------
+
+
+def _sandwich(Xt, sig, Y):
+    """X' S Y for stacked blocks: (n, w, a)' x sig x (n, w, b)."""
+    return jnp.einsum("nwa,nwb->nab", Xt * sig[:, None], Y, precision=_P)
+
+
+def cr_factor(D, O, p: int):
+    """Cyclic-reduction factorization of the signed block-tridiagonal M.
+
+    D: (K, w, w) diagonal blocks, O: (K-1, w, w) with M[k+1, k] = O[k].
+    Returns an opaque pytree for :func:`cr_solve`: per level the inverted
+    triangular factor of the eliminated odd blocks and the coupling blocks
+    R = L^-1 M[j, j-1], Q = L^-1 M[j, j+1], plus the root block inverse
+    factors.  All level shapes are static functions of K.
+    """
+    w = D.shape[-1]
+    sig = _sig(w, p, D.dtype)
+    I_w = jnp.eye(w, dtype=D.dtype)
+    levels = []
+    n = D.shape[0]
+    while n > 1:
+        n_odd = n // 2
+        n_even = n - n_odd
+        D_odd = D[1::2]
+        # pad the super-diagonal so the last odd stage (when n is even)
+        # sees a zero right coupling
+        O_pad = jnp.concatenate(
+            [O, jnp.zeros((1, w, w), D.dtype)], axis=0)[:2 * n_odd]
+        O_left = O_pad[0::2]                     # M[j, j-1], j = 2m+1
+        O_rt = O_pad[1::2]                       # M[j+1, j] -> M[j, j+1]'
+        L = signed_cholesky(D_odd, p)
+        Linv = solve_triangular(
+            L, jnp.broadcast_to(I_w, (n_odd, w, w)), lower=True)
+        R = jnp.einsum("nab,nbc->nac", Linv, O_left, precision=_P)
+        Q = jnp.einsum("nab,ncb->nac", Linv, O_rt, precision=_P)
+
+        D_even = D[0::2]
+        D_even = D_even.at[:n_odd].add(-_sandwich(R, sig, R))
+        D_even = D_even.at[1:].add(-_sandwich(Q, sig, Q)[:n_even - 1])
+        O_even = -_sandwich(Q, sig, R)[:n_even - 1]
+
+        levels.append((Linv, R, Q))
+        D, O, n = D_even, O_even, n_even
+
+    L_root = signed_cholesky(D[0], p)
+    Linv_root = solve_triangular(L_root, I_w, lower=True)
+    return (tuple(levels), Linv_root, p)
+
+
+def cr_solve(fact, b):
+    """Solve M x = b given :func:`cr_factor`; b: (K, w) or (K, w, r)."""
+    levels, Linv_root, p = fact
+    w = Linv_root.shape[-1]
+    sig = _sig(w, p, Linv_root.dtype)
+    squeeze = b.ndim == 2
+    if squeeze:
+        b = b[..., None]
+
+    # down-sweep: eliminate odd rhs level by level
+    ts = []
+    for Linv, R, Q in levels:
+        n = b.shape[0]
+        n_odd = n // 2
+        n_even = n - n_odd
+        t = jnp.einsum("nab,nbr->nar", Linv, b[1::2], precision=_P)
+        b_even = b[0::2]
+        b_even = b_even.at[:n_odd].add(
+            -jnp.einsum("nab,nar->nbr", R * sig[None, :, None], t,
+                        precision=_P))
+        b_even = b_even.at[1:].add(
+            -jnp.einsum("nab,nar->nbr", Q * sig[None, :, None], t,
+                        precision=_P)[:n_even - 1])
+        ts.append(t)
+        b = b_even
+
+    # root
+    u = Linv_root @ b[0]
+    x = (jnp.swapaxes(Linv_root, -1, -2) @ (sig[:, None] * u))[None]
+
+    # up-sweep: recover odd unknowns
+    for (Linv, R, Q), t in zip(reversed(levels), reversed(ts)):
+        n_even = x.shape[0]
+        n_odd = t.shape[0]
+        n = n_even + n_odd
+        x_pad = jnp.concatenate(
+            [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+        rhs = (t
+               - jnp.einsum("nab,nbr->nar", R, x[:n_odd], precision=_P)
+               - jnp.einsum("nab,nbr->nar", Q, x_pad[1:n_odd + 1],
+                            precision=_P))
+        x_odd = jnp.einsum("nba,nbr->nar", Linv, sig[:, None] * rhs,
+                           precision=_P)
+        full = jnp.zeros((n,) + x.shape[1:], x.dtype)
+        full = full.at[0::2].set(x).at[1::2].set(x_odd)
+        x = full
+
+    return x[..., 0] if squeeze else x
+
+
+def cr_arrow_factor(D, O, Bg, Cg, p: int, p_glob: int):
+    """Cyclic-reduction factorization of the arrow matrix
+    [[T, Bg], [Bg', Cg]]: CR on the block-tridiagonal T plus a dense
+    signed factorization of the global Schur complement
+    S = Cg - Bg' T^-1 Bg (quasidefinite with the same signature as Cg)."""
+    g = Cg.shape[-1]
+    fact_T = cr_factor(D, O, p)
+    Y = cr_solve(fact_T, Bg)                                 # T^-1 Bg
+    S = Cg - jnp.einsum("kwg,kwh->gh", Bg, Y, precision=_P)
+    S = 0.5 * (S + S.T)
+    L_S = signed_cholesky(S, p_glob)
+    LSinv = solve_triangular(L_S, jnp.eye(g, dtype=D.dtype), lower=True)
+    return (fact_T, Bg, Y, LSinv, p_glob)
+
+
+def cr_arrow_solve(fact, b_stage, b_glob):
+    """Solve the arrow system from :func:`cr_arrow_factor`;
+    b_stage: (K, w) or (K, w, r), b_glob: (g,) or (g, r)."""
+    fact_T, Bg, Y, LSinv, p_glob = fact
+    g = LSinv.shape[-1]
+    sig_g = _sig(g, p_glob, LSinv.dtype)
+    squeeze = b_stage.ndim == 2
+    if squeeze:
+        b_stage = b_stage[..., None]
+        b_glob = b_glob[..., None]
+    u = cr_solve(fact_T, b_stage)                            # T^-1 b
+    rhs_g = b_glob - jnp.einsum("kwg,kwr->gr", Bg, u, precision=_P)
+    x_g = jnp.swapaxes(LSinv, -1, -2) @ (sig_g[:, None] * (LSinv @ rhs_g))
+    x_stage = u - jnp.einsum("kwg,gr->kwr", Y, x_g, precision=_P)
+    if squeeze:
+        return x_stage[..., 0], x_g[..., 0]
+    return x_stage, x_g
 
 
 def arrow_factor(D, O, Bg, Cg, p: int, p_glob: int):
