@@ -13,18 +13,72 @@ Environment knobs: BENCH_BATCH (default 16), BENCH_BUDGET (default stock
 45), BENCH_REPEATS (default 3).
 """
 
+import hashlib
 import json
 import os
+import platform
 import sys
 import time
 
 import jax
 
+
+def _machine_tag() -> str:
+    # key the persistent cache by host CPU: AOT results from a different
+    # machine SIGILL on load (see tests/conftest.py)
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    return hashlib.sha256(
+        (platform.machine() + flags).encode()).hexdigest()[:12]
+
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+                  os.environ.get("JAX_CACHE_DIR",
+                                 f"/tmp/jax_cache_{_machine_tag()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp  # noqa: E402
+
+
+def bench_mpc_latency():
+    """Second headline metric (BASELINE.json): p50/p99 latency of a warm
+    jitted MPC re-solve with only x_init changing (the parameterized
+    re-solve pattern, MPCAlgorithm.cpp:93-116 / MPC_sim.cpp:45-90).
+    Target: p50 <= ~10 ms."""
+    import numpy as np
+
+    from scpp_tpu.algos.mpc import mpc_solve
+    from scpp_tpu.configs.algorithms import MPCConfig
+    from scpp_tpu.models import Rocket2D
+
+    p = Rocket2D.default_params()
+    p = p.replace(x_init=jnp.asarray([5.0, 30.0, 1.0, -2.0, 0.05, 0.0]),
+                  x_final=jnp.zeros(6), constrain_initial_final=False)
+    cfg = MPCConfig()
+
+    def resolve(x):
+        X, U, res = mpc_solve(Rocket2D, p, x, cfg)
+        return U[0]
+
+    x = jnp.asarray(p.x_init, jnp.float32)
+    u = resolve(x)  # compile
+    float(jnp.sum(u))
+    lats = []
+    for i in range(50):
+        x_i = x * (1.0 + 0.01 * i)
+        t0 = time.perf_counter()
+        u = resolve(x_i)
+        float(jnp.sum(u))  # host fence
+        lats.append((time.perf_counter() - t0) * 1e3)
+    lats = np.sort(np.asarray(lats))
+    p50 = float(lats[len(lats) // 2])
+    p99 = float(lats[int(len(lats) * 0.99)])
+    print(f"# mpc_resolve latency: p50={p50:.2f} ms p99={p99:.2f} ms "
+          f"(target p50 <= 10 ms)", file=sys.stderr)
+    return p50, p99
 
 
 def main():
@@ -88,12 +142,21 @@ def main():
           f"{conv}/{batch} converged; max_residual="
           f"{float(jnp.max(res.max_residual)):.2e}", file=sys.stderr)
 
+    mpc_p50, mpc_p99 = bench_mpc_latency()
+
     per_chip_target = 1000.0 / 16.0
     print(json.dumps({
         "metric": "rocketquat_k30_scvx_solves_per_s_per_chip",
         "value": round(solves_per_s, 3),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / per_chip_target, 4),
+        # second north-star metric (BASELINE.json): warm MPC re-solve
+        # latency, target p50 <= 10 ms
+        "mpc_resolve_p50_ms": round(mpc_p50, 2),
+        "mpc_resolve_p99_ms": round(mpc_p99, 2),
+        "converged": conv,
+        "batch": batch,
+        "compile_s": round(compile_s, 1),
     }))
 
 

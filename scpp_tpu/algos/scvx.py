@@ -157,7 +157,7 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
     dtype = td0.X.dtype
     w_nu = jnp.asarray(cfg.weight_virtual_control, dtype)
 
-    def step(carry, _):
+    def step(carry):
         td, trust, last_J, has_last, accepts, converged, done, max_res = carry
 
         dd = multiple_shooting(model, par, td, substeps=cfg.substeps,
@@ -249,8 +249,36 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
               jnp.asarray(0.0, dtype), jnp.asarray(False),
               jnp.asarray(0, jnp.int32),
               jnp.asarray(False), jnp.asarray(False), jnp.asarray(0.0, dtype))
-    (td, trust, _, _, accepts, converged, _, max_res), ys = jax.lax.scan(
-        step, carry0, None, length=cfg.solve_budget)
+
+    # early-exit while_loop instead of a fixed-trip scan over the budget:
+    # converged solves stop iterating (under vmap the batching rule keeps
+    # stepping only while some scenario is active, with done scenarios'
+    # carries select-frozen — identical results to the scan). Per-step
+    # history is written into preallocated buffers carried through the loop.
+    budget = cfg.solve_budget
+    hist0 = (jnp.zeros((budget,) + td0.X.shape, dtype),
+             jnp.zeros((budget,) + td0.U.shape, dtype),
+             jnp.zeros((budget,), bool),
+             jnp.zeros((budget,), dtype),
+             jnp.zeros((budget,), dtype))
+
+    def w_cond(state):
+        i, carry, _ = state
+        done = carry[6]
+        return (i < budget) & jnp.logical_not(done)
+
+    def w_body(state):
+        i, carry, hist = state
+        carry, out = step(carry)
+        hX, hU, hacc, hJ, hL = hist
+        oX, oU, oacc, oJ, oL = out
+        hist = (hX.at[i].set(oX), hU.at[i].set(oU), hacc.at[i].set(oacc),
+                hJ.at[i].set(oJ), hL.at[i].set(oL))
+        return (i + 1, carry, hist)
+
+    _, (td, trust, _, _, accepts, converged, _, max_res), ys = \
+        jax.lax.while_loop(w_cond, w_body,
+                           (jnp.asarray(0, jnp.int32), carry0, hist0))
     all_X, all_U, accepted, Js, Ls = ys
 
     if cfg.nondimensionalize:

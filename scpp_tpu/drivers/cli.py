@@ -38,10 +38,29 @@ def common_parser(algo: str) -> argparse.ArgumentParser:
     ap.add_argument("--output-dir", default="output")
     ap.add_argument("--config-dir", default=None,
                     help="directory with reference-format .info files")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu, tpu)")
     return ap
 
 
+def _ensure_backend(platform=None):
+    """Select a usable jax backend before any computation.
+
+    Some hosting environments register an experimental TPU plugin that can
+    fail to initialize in subprocesses; a CLI run must degrade to CPU
+    instead of crashing."""
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+        return
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+
+
 def _setup(args, algo_cfg_name, cfg_cls, **cfg_kwargs):
+    _ensure_backend(getattr(args, "platform", None))
     model = MODEL_REGISTRY[args.model]
     params = model.default_params()
     if args.config_dir:

@@ -42,10 +42,22 @@ __all__ = ["multiple_shooting", "exact_linear_discretization"]
 
 
 def _interval_ode(model, par, u0, u1, time, dt, interpolate_input, variable_time):
-    """RHS of the variational ODE (discretizationImplementation.hpp:38-120)."""
+    """RHS of the variational ODE (discretizationImplementation.hpp:38-120).
+
+    TPU redesign of the reference's packed state: instead of integrating
+    Phi and the Phi^-1-premultiplied integrals (which costs an n x n LU
+    inverse per RK stage and a trailing unpack matmul per column block),
+    integrate the *forward* affine variational equations directly.  By
+    variation of constants each reference column Y = Phi(t) int Phi^-1 R
+    satisfies Y' = A(t) Y + R(t), Y(0) = 0, so the augmented state is one
+    (n, n + m [+ m] [+ 1] + 1) matrix
+        Y = [Phi | Y_B | (Y_C) | (y_s) | y_z]
+    and the whole RHS is a single batched matmul A @ Y + R — no inverse,
+    and A_k..z_k read off Y(dt) with no post-processing.
+    """
 
     def f(V, t):
-        x, Phi, VB, VC, Vs, Vz = V
+        x, Y = V
         u = u0 + (t / dt) * (u1 - u0) if interpolate_input else u0
 
         fx, A, B = flow_with_jacobians(model, x, u, par)
@@ -53,25 +65,23 @@ def _interval_ode(model, par, u0, u1, time, dt, interpolate_input, variable_time
             A = A * time
             B = B * time
 
-        Phi_inv = jnp.linalg.inv(Phi)
-
         dx = time * fx if variable_time else fx
-        dPhi = A @ Phi
+        r = -A @ x - B @ u if variable_time else fx - A @ x - B @ u
+
+        n = x.shape[0]
+        cols = [jnp.zeros((n, n), x.dtype)]
         if interpolate_input:
             alpha = (dt - t) / dt
             beta = t / dt
-            dVB = Phi_inv @ B * alpha
-            dVC = Phi_inv @ B * beta
+            cols += [B * alpha, B * beta]
         else:
-            dVB = Phi_inv @ B
-            dVC = None
+            cols.append(B)
         if variable_time:
-            dVs = Phi_inv @ fx
-            dVz = Phi_inv @ (-A @ x - B @ u)
-        else:
-            dVs = None
-            dVz = Phi_inv @ (fx - A @ x - B @ u)
-        return (dx, dPhi, dVB, dVC, dVs, dVz)
+            cols.append(fx[:, None])
+        cols.append(r[:, None])
+        R = jnp.concatenate(cols, axis=1)
+        dY = A @ Y + R
+        return (dx, dY)
 
     return f
 
@@ -110,22 +120,28 @@ def _multiple_shooting_impl(model, par, td, sigma, substeps, method,
     u1s = td.U[1:K] if interpolate_input else u0s
 
     def one_interval(x0, u0, u1):
-        V0 = (
-            x0,
-            jnp.eye(n, dtype=dtype),
-            jnp.zeros((n, m), dtype),
-            jnp.zeros((n, m), dtype) if interpolate_input else None,
-            jnp.zeros((n,), dtype) if variable_time else None,
-            jnp.zeros((n,), dtype),
-        )
+        n_cols = n + m + (m if interpolate_input else 0) \
+            + (1 if variable_time else 0) + 1
+        Y0 = jnp.concatenate(
+            [jnp.eye(n, dtype=dtype), jnp.zeros((n, n_cols - n), dtype)],
+            axis=1)
         f = _interval_ode(model, par, u0, u1, time, dt,
                           interpolate_input, variable_time)
-        _, Phi, VB, VC, Vs, Vz = integrate_fixed(f, V0, 0.0, dt, substeps, method)
-        A_k = Phi
-        B_k = A_k @ VB
-        C_k = A_k @ VC if interpolate_input else None
-        s_k = A_k @ Vs if variable_time else None
-        z_k = A_k @ Vz
+        _, Y = integrate_fixed(f, (x0, Y0), 0.0, dt, substeps, method)
+        A_k = Y[:, :n]
+        B_k = Y[:, n:n + m]
+        off = n + m
+        if interpolate_input:
+            C_k = Y[:, off:off + m]
+            off += m
+        else:
+            C_k = None
+        if variable_time:
+            s_k = Y[:, off]
+            off += 1
+        else:
+            s_k = None
+        z_k = Y[:, off]
         return A_k, B_k, C_k, s_k, z_k
 
     A, B, C, s, z = jax.vmap(one_interval)(x0s, u0s, u1s)

@@ -147,6 +147,14 @@ class _BatchCones:
         return jnp.min(jnp.stack(alphas))
 
     def nt_scaling(self, s, z):
+        """NT scaling point; returns (rep, lam) with ``rep`` holding DENSE
+        per-stage block-diagonal W / W^-1 / W^-2 matrices (B, mc, mc).
+
+        Group-wise application (a dozen small slice/set kernels per call,
+        ~10 calls per IPM iteration) was the dominant kernel-launch cost of
+        the whole solver at trajectory sizes; assembling the block-diagonal
+        once per iteration turns every apply into a single batched einsum
+        that rides the MXU."""
         rep = {}
         lam = jnp.zeros_like(s)
         if self.l:
@@ -184,46 +192,41 @@ class _BatchCones:
             rep["soc"].append((W, Winv))
             lam = lam.at[:, o:o + q].set(
                 jnp.einsum("bij,bj->bi", W, zb_, precision=_P))
-        return rep, lam
+        return self._densify(rep, s.dtype), lam
+
+    def _densify(self, rep, dtype):
+        """Assemble block-diagonal dense W / W^-1 / W^-2 from group parts."""
+        Wd = jnp.zeros((self.B, self.mc, self.mc), dtype)
+        Wi = jnp.zeros_like(Wd)
+        if self.l:
+            il = np.arange(self.l)
+            Wd = Wd.at[:, il, il].set(rep["diag"])
+            Wi = Wi.at[:, il, il].set(1.0 / rep["diag"])
+        for (Wb, Wib), o, q in zip(rep["soc"], self.soc_offs,
+                                   self.soc_sizes):
+            Wd = Wd.at[:, o:o + q, o:o + q].set(Wb)
+            Wi = Wi.at[:, o:o + q, o:o + q].set(Wib)
+        Wi2 = jnp.einsum("bij,bjk->bik", Wi, Wi, precision=_P)
+        return {"W": Wd, "Winv": Wi, "Winv2": Wi2}
 
     def identity_rep(self, dtype):
-        rep = {}
-        if self.l:
-            rep["diag"] = jnp.ones((self.B, self.l), dtype)
-        rep["soc"] = []
-        for q in self.soc_sizes:
-            I = jnp.tile(jnp.eye(q, dtype=dtype)[None], (self.B, 1, 1))
-            rep["soc"].append((I, I))
-        return rep
+        I = jnp.broadcast_to(jnp.eye(self.mc, dtype=dtype),
+                             (self.B, self.mc, self.mc))
+        return {"W": I, "Winv": I, "Winv2": I}
 
     def apply_W(self, rep, v):
-        out = jnp.zeros_like(v)
-        if self.l:
-            out = out.at[:, :self.l].set(rep["diag"] * v[:, :self.l])
-        for (W, _), o, q in zip(rep["soc"], self.soc_offs, self.soc_sizes):
-            out = out.at[:, o:o + q].set(
-                jnp.einsum("bij,bj->bi", W, v[:, o:o + q], precision=_P))
-        return out
+        return jnp.einsum("bij,bj->bi", rep["W"], v, precision=_P)
 
     def apply_Winv(self, rep, v):
-        out = jnp.zeros_like(v)
-        if self.l:
-            out = out.at[:, :self.l].set(v[:, :self.l] / rep["diag"])
-        for (_, Wi), o, q in zip(rep["soc"], self.soc_offs, self.soc_sizes):
-            out = out.at[:, o:o + q].set(
-                jnp.einsum("bij,bj->bi", Wi, v[:, o:o + q], precision=_P))
-        return out
+        return jnp.einsum("bij,bj->bi", rep["Winv"], v, precision=_P)
+
+    def apply_Winv2(self, rep, v):
+        """W^-2 v in one batched matmul (replaces Winv(Winv(v)))."""
+        return jnp.einsum("bij,bj->bi", rep["Winv2"], v, precision=_P)
 
     def apply_Winv_rows(self, rep, M):
         """W^-1 @ M rowwise; M: (B, mc, C)."""
-        out = jnp.zeros_like(M)
-        if self.l:
-            out = out.at[:, :self.l].set(
-                M[:, :self.l] / rep["diag"][:, :, None])
-        for (_, Wi), o, q in zip(rep["soc"], self.soc_offs, self.soc_sizes):
-            out = out.at[:, o:o + q].set(
-                jnp.einsum("bij,bjc->bic", Wi, M[:, o:o + q], precision=_P))
-        return out
+        return jnp.einsum("bij,bjc->bic", rep["Winv"], M, precision=_P)
 
 
 # ---------------------------------------------------------------------------
@@ -269,7 +272,8 @@ def _staged_ruiz(prog: StagedProgram, iters: int):
             out = out.at[o:o + q].set(m)
         return out
 
-    for _ in range(iters):
+    def sweep(_, scales):
+        E_st, E_g, d_eq, d_c, d_geq, d_cg = scales
         Ecat = colscale_cat(E_st, E_g)
         Aeq_s = A_eq * d_eq[:, :, None] * Ecat[:, None, :]
         G_s = G * d_c[:, :, None] * Ecat[:, None, :]
@@ -321,8 +325,12 @@ def _staged_ruiz(prog: StagedProgram, iters: int):
         if g:
             E_g = jnp.where(cmax_g < 1e-12, E_g,
                             E_g / jnp.sqrt(jnp.maximum(cmax_g, 1e-12)))
+        return (E_st, E_g, d_eq, d_c, d_geq, d_cg)
 
-    return E_st, E_g, d_eq, d_c, d_geq, d_cg
+    # fori_loop, not a Python loop: sweeps are shape-static, and unrolling
+    # 10 of them was a measurable slice of the XLA compile budget
+    return jax.lax.fori_loop(
+        0, iters, sweep, (E_st, E_g, d_eq, d_c, d_geq, d_cg))
 
 
 def _soc_offs(l, soc_sizes):
@@ -525,25 +533,25 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
             sol_st, sol_g = arrow_solve(fact[1:], b_stage, b_glob)
         return (sol_st[:, :w], sol_g[:g]), (sol_st[:, w:], sol_g[g:])
 
-    def kkt_solve(fact, rep, rep_g, f1, f2, rzWd):
+    def kkt_solve(fact, rep, rep_g, f1, f2, rzWd, refine_steps=None):
         """Solve  H dx + A' dy = f1 - G' W^-2 (rz + W d),  A dx = f2,
         recover dz = W^-2 (G dx) + u3; refined against the exact
         (unregularized) operator."""
-        u3_st = cones.apply_Winv(rep, cones.apply_Winv(rep, rzWd[0]))
-        u3_g = cones_g.apply_Winv(
-            rep_g, cones_g.apply_Winv(rep_g, rzWd[1][None]))[0]
+        if refine_steps is None:
+            refine_steps = settings.refine_steps
+        u3_st = cones.apply_Winv2(rep, rzWd[0])
+        u3_g = cones_g.apply_Winv2(rep_g, rzWd[1][None])[0]
         gt_st, gt_g = G_rmv(u3_st, u3_g)
         lf_st, lf_g = A_rmv(rho * f2[0], rho * f2[1])
         r1 = (f1[0] - gt_st + lf_st, f1[1] - gt_g + lf_g)
 
         dx, dy = kkt_raw_solve(fact, r1, f2)
-        for _ in range(settings.refine_steps):
+        for _ in range(refine_steps):
             # exact residuals of the lifted system:
             # H_lift dx = G' W^-2 G dx + rho A'A dx
             gx_st, gx_g = G_mv(*dx)
-            wx_st = cones.apply_Winv(rep, cones.apply_Winv(rep, gx_st))
-            wx_g = cones_g.apply_Winv(
-                rep_g, cones_g.apply_Winv(rep_g, gx_g[None]))[0]
+            wx_st = cones.apply_Winv2(rep, gx_st)
+            wx_g = cones_g.apply_Winv2(rep_g, gx_g[None])[0]
             hx_st, hx_g = G_rmv(wx_st, wx_g)
             ax_st, ax_g = A_mv(*dx)
             lx_st, lx_g = A_rmv(rho * ax_st, rho * ax_g)
@@ -556,19 +564,20 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
             dy = (dy[0] + cy[0], dy[1] + cy[1])
 
         gx_st, gx_g = G_mv(*dx)
-        dz_st = cones.apply_Winv(rep, cones.apply_Winv(rep, gx_st)) + u3_st
-        dz_g = cones_g.apply_Winv(
-            rep_g, cones_g.apply_Winv(rep_g, gx_g[None]))[0] + u3_g
+        dz_st = cones.apply_Winv2(rep, gx_st) + u3_st
+        dz_g = cones_g.apply_Winv2(rep_g, gx_g[None])[0] + u3_g
         return dx, dy, (dz_st, dz_g)
 
     # ---- initialization (CVXOPT conelp style) ----
     rep0 = cones.identity_rep(dtype)
     rep0_g = cones_g.identity_rep(dtype)
     fact0 = kkt_factor(rep0, rep0_g)
+    # init solves need an interior point, not refined accuracy — skipping
+    # refinement here halves the unrolled (outside-the-scan) KKT HLO
     zero_x = (jnp.zeros((K, w), dtype), jnp.zeros((g,), dtype))
     (x0, x0g), _, _ = kkt_solve(fact0, rep0, rep0_g,
                                 zero_x, (b_eq, b_geq),
-                                (-h, -h_g))
+                                (-h, -h_g), refine_steps=0)
     s_cand = (h - G_mv(x0, x0g)[0], h_g - G_mv(x0, x0g)[1])
     t_p = jnp.maximum(cones.min_shift(s_cand[0]),
                       cones_g.min_shift(s_cand[1][None]))
@@ -578,7 +587,8 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
     _, (y0, y0g), (z0c, z0cg) = kkt_solve(
         fact0, rep0, rep0_g, (-c_st, -c_g),
         (jnp.zeros((K, me), dtype), jnp.zeros((meg,), dtype)),
-        (jnp.zeros((K, mc), dtype), jnp.zeros((mcg,), dtype)))
+        (jnp.zeros((K, mc), dtype), jnp.zeros((mcg,), dtype)),
+        refine_steps=0)
     t_d = jnp.maximum(cones.min_shift(z0c),
                       cones_g.min_shift(z0cg[None]))
     shift_d = jnp.where(t_d < -1e-8, 0.0, t_d + 1.0)
@@ -724,8 +734,23 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
 
     best0 = ((x0, x0g), (y0, y0g), s0, z0, jnp.asarray(jnp.inf, dtype))
     carry0 = ((x0, x0g), (y0, y0g), s0, z0, jnp.asarray(False), best0)
-    (_, _, _, _, _, best), _ = jax.lax.scan(body, carry0, None,
-                                            length=settings.iters)
+
+    # early-exit while_loop instead of a fixed-trip scan: the typical
+    # subproblem converges well inside the budget, and under vmap the
+    # batching rule keeps iterating only while *some* scenario is active
+    # (done scenarios' carries are select-frozen) — same results as the
+    # scan, ~1.5-2x less wall time
+    def w_cond(state):
+        i, carry = state
+        return (i < settings.iters) & jnp.logical_not(carry[4])
+
+    def w_body(state):
+        i, carry = state
+        carry, _ = body(carry, None)
+        return (i + 1, carry)
+
+    _, (_, _, _, _, _, best) = jax.lax.while_loop(
+        w_cond, w_body, (jnp.asarray(0, jnp.int32), carry0))
     (x_st, x_g), (y_st, y_g), (s_st, s_g), (z_st, z_g), _ = best
 
     # unscale to original data:  x = E x^ b_s,  y = D y^ c_s,  s = s^ b_s / D

@@ -484,69 +484,93 @@ class StagedBuilder:
         g = self._gwidth
         C = 2 * w + g
 
-        def emit(families, negate):
+        def emit(families, negate, pack=False):
             """families: list of (expr, node_idx); returns (K, M, C), (K, M).
 
             negate=True for cone rows (s = expr => A = -M, b = const);
             negate=False for equalities (A = M, b = -const).
+
+            ``pack=True`` (equalities only — cone rows have a fixed layout
+            contract) shares row slots between families whose node sets are
+            disjoint: boundary pins live only at node 0 / K-1 but would
+            otherwise widen EVERY stage's equality block, and the KKT
+            factor cost grows with (w + me)^3.  First-fit over a per-row
+            stage-occupancy mask; padded (row, stage) slots stay inert
+            0 = 0 rows.
             """
-            m_total = sum(e.dim for e, _ in families)
+            if pack:
+                occupancy: List[np.ndarray] = []
+                row_assign: List[np.ndarray] = []
+                for expr, idx in families:
+                    rows = []
+                    for _ in range(expr.dim):
+                        for rI, occ in enumerate(occupancy):
+                            if not occ[idx].any():
+                                rows.append(rI)
+                                occ[idx] = True
+                                break
+                        else:
+                            occ = np.zeros(K, bool)
+                            occ[idx] = True
+                            occupancy.append(occ)
+                            rows.append(len(occupancy) - 1)
+                    row_assign.append(np.asarray(rows))
+                m_total = len(occupancy)
+            else:
+                row_assign = []
+                roff = 0
+                for expr, _ in families:
+                    row_assign.append(np.arange(roff, roff + expr.dim))
+                    roff += expr.dim
+                m_total = roff
             A = np.zeros((K, m_total, C))
             b = np.zeros((K, m_total))
             traced_A: List = []
             traced_b: List = []
-            roff = 0
-            for expr, idx in families:
+            for (expr, idx), rows in zip(families, row_assign):
                 d = expr.dim
                 sgn = -1.0 if negate else 1.0
                 for (name, shift), M in expr.terms.items():
                     if shift is None:
                         col0 = 2 * w + self._goff[name]
-                        width = self._gvars[name].size
                     else:
                         col0 = shift * w + self._soff[name]
-                        width = M.shape[-1]
                     cols = np.arange(col0, col0 + M.shape[-1])
                     if _is_static(M):
                         if M.ndim == 2:
-                            A[np.ix_(idx, np.arange(roff, roff + d), cols)] \
-                                += sgn * M[None]
+                            A[np.ix_(idx, rows, cols)] += sgn * M[None]
                         else:
-                            A[np.ix_(idx, np.arange(roff, roff + d), cols)] \
-                                += sgn * M
+                            A[np.ix_(idx, rows, cols)] += sgn * M
                     else:
-                        traced_A.append((idx, roff, d, cols, sgn, M))
+                        traced_A.append((idx, rows, cols, sgn, M))
                 c = expr.const
                 csgn = 1.0 if negate else -1.0
                 if _is_static(c):
                     cc = np.asarray(c, np.float64)
                     if cc.ndim == 1:
-                        b[idx, roff:roff + d] = csgn * cc[None]
+                        b[np.ix_(idx, rows)] = csgn * cc[None]
                     else:
-                        b[idx, roff:roff + d] = csgn * cc
+                        b[np.ix_(idx, rows)] = csgn * cc
                 else:
-                    traced_b.append((idx, roff, d, csgn, c))
-                roff += d
+                    traced_b.append((idx, rows, d, csgn, c))
             A_j = jnp.asarray(A, dtype)
             b_j = jnp.asarray(b, dtype)
-            for idx, roff_, d, cols, sgn, M in traced_A:
+            for idx, rows, cols, sgn, M in traced_A:
                 Mj = jnp.asarray(M, dtype)
                 if Mj.ndim == 2:
                     Mj = jnp.broadcast_to(Mj, (idx.size,) + Mj.shape)
                 A_j = A_j.at[idx[:, None, None],
-                             np.arange(roff_, roff_ + d)[None, :, None],
+                             rows[None, :, None],
                              cols[None, None, :]].add(sgn * Mj)
-            for idx, roff_, d, csgn, c in traced_b:
+            for idx, rows, d, csgn, c in traced_b:
                 cj = jnp.asarray(c, dtype)
                 if cj.ndim == 1:
                     cj = jnp.broadcast_to(cj, (idx.size, d))
-                b_j = b_j.at[idx[:, None],
-                             np.arange(roff_, roff_ + d)[None, :]].add(
-                    csgn * cj)
+                b_j = b_j.at[idx[:, None], rows[None, :]].add(csgn * cj)
             return A_j, b_j
 
-        # equalities: padded rows are 0 = 0
-        A_eq, b_eq = emit(self._eq, negate=False)
+        # equalities: padded rows are 0 = 0; slot-packed (see emit)
+        A_eq, b_eq = emit(self._eq, negate=False, pack=True)
 
         # conic rows: nonneg families first, then SOC families.
         # padded nonneg rows: 0 x + s = 1; padded SOC rows: s = (1, 0...).

@@ -18,6 +18,9 @@ import jax  # noqa: E402
 # alone is not enough — override the config after import.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# persistent compile cache: repeated suite runs skip recompilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO persistent compile cache for the CPU suite: XLA:CPU AOT executable
+# serialization is machine-fragile — stale entries from another host
+# SIGILL on load, and writing large executables segfaulted inside
+# jax compilation_cache.put_executable_and_time (deterministic mid-suite
+# crash, reproduced twice). The TPU bench keeps its own cache (bench.py);
+# CPU tests just recompile.
