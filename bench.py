@@ -43,41 +43,125 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 
 
+def bench_phases(batch):
+    """Per-phase device-time breakdown of one SCvx step (the reference
+    prints per-phase ms every iteration, SCAlgorithm.cpp:69-92,117-128;
+    this is the batched analog): discretize / build+conic-solve / resim,
+    each jitted separately and timed warm on the bench batch."""
+    from scpp_tpu.algos.common import nonlinear_defect_cost
+    from scpp_tpu.algos.staged_problems import build_scvx_subproblem_staged
+    from scpp_tpu.models import RocketQuat
+    from scpp_tpu.ops.discretization import multiple_shooting
+    from scpp_tpu.solver.ipm import IPMSettings
+    from scpp_tpu.solver.ipm_staged import solve_staged_ipm
+
+    params = RocketQuat.default_params()
+    p = RocketQuat.nondimensionalize(params)
+    par = RocketQuat.param_vector(p)
+    td = RocketQuat.init_trajectory(p, 30, True)
+    ref = RocketQuat.constraint_ref(p, td)
+    dtype = td.X.dtype
+    tdb = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (batch,) + a.shape), td)
+    solver = IPMSettings(iters=25, eps_reg=1e-4, eps_feas=1e-4,
+                         refine_steps=2)
+
+    def timed(name, f, *args):
+        out = f(*args)
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f(*args)
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        print(f"#   phase {name:<12} {min(ts)*1e3:8.1f} ms  (batch={batch})",
+              file=sys.stderr)
+        return out
+
+    disc = jax.jit(jax.vmap(lambda td_: multiple_shooting(
+        RocketQuat, par, td_, substeps=6, variable_time=False)))
+    dd_b = timed("discretize", disc, tdb)
+
+    def one(td_, dd_):
+        prog = build_scvx_subproblem_staged(
+            RocketQuat, p, td_, dd_, jnp.asarray(5.0, dtype),
+            jnp.asarray(1e3, dtype), ref, jnp.asarray(5.0, dtype))
+        return solve_staged_ipm(prog, solver).x_stage
+    timed("build+solve", jax.jit(jax.vmap(one)), tdb, dd_b)
+
+    resim = jax.jit(jax.vmap(lambda td_: nonlinear_defect_cost(
+        RocketQuat, par, td_, 8, "dopri5")))
+    timed("resim", resim, tdb)
+
+
 def bench_mpc_latency():
     """Second headline metric (BASELINE.json): p50/p99 latency of a warm
     jitted MPC re-solve with only x_init changing (the parameterized
     re-solve pattern, MPCAlgorithm.cpp:93-116 / MPC_sim.cpp:45-90).
-    Target: p50 <= ~10 ms."""
+    Target: p50 <= ~10 ms.
+
+    Measures both conic backends — the dense IPM and the warm-started
+    first-order HSD splitting (with the Pallas SOC-projection kernel on
+    TPU) — and reports the better one as the headline."""
     import numpy as np
 
     from scpp_tpu.algos.mpc import mpc_solve
     from scpp_tpu.configs.algorithms import MPCConfig
     from scpp_tpu.models import Rocket2D
+    from scpp_tpu.solver.scs import SolverSettings
 
     p = Rocket2D.default_params()
     p = p.replace(x_init=jnp.asarray([5.0, 30.0, 1.0, -2.0, 0.05, 0.0]),
                   x_final=jnp.zeros(6), constrain_initial_final=False)
-    cfg = MPCConfig()
-
-    def resolve(x):
-        X, U, res = mpc_solve(Rocket2D, p, x, cfg)
-        return U[0]
-
     x = jnp.asarray(p.x_init, jnp.float32)
-    u = resolve(x)  # compile
-    float(jnp.sum(u))
+
+    def percentiles(lats):
+        lats = np.sort(np.asarray(lats))
+        return (float(lats[len(lats) // 2]),
+                float(lats[int(len(lats) * 0.99)]))
+
+    results = {}
+
+    # dense IPM backend (stateless re-solve)
+    cfg = MPCConfig()
+    u = mpc_solve(Rocket2D, p, x, cfg)[1][0]
+    float(jnp.sum(u))  # compile + fence
     lats = []
     for i in range(50):
         x_i = x * (1.0 + 0.01 * i)
         t0 = time.perf_counter()
-        u = resolve(x_i)
-        float(jnp.sum(u))  # host fence
+        u = mpc_solve(Rocket2D, p, x_i, cfg)[1][0]
+        float(jnp.sum(u))
         lats.append((time.perf_counter() - t0) * 1e3)
-    lats = np.sort(np.asarray(lats))
-    p50 = float(lats[len(lats) // 2])
-    p99 = float(lats[int(len(lats) * 0.99)])
-    print(f"# mpc_resolve latency: p50={p50:.2f} ms p99={p99:.2f} ms "
-          f"(target p50 <= 10 ms)", file=sys.stderr)
+    results["ipm"] = percentiles(lats)
+
+    # first-order HSD backend, warm-started from the previous solve
+    on_tpu = jax.devices()[0].platform == "tpu"
+    cfg_s = MPCConfig(solver=SolverSettings(
+        iters=150, warm_start=True, use_pallas=on_tpu))
+    _, U, warm = mpc_solve(Rocket2D, p, x, cfg_s)
+    float(jnp.sum(U))
+    lats, bad = [], 0
+    for i in range(50):
+        x_i = x * (1.0 + 0.01 * i)
+        t0 = time.perf_counter()
+        _, U, res = mpc_solve(Rocket2D, p, x_i, cfg_s, None, warm)
+        float(jnp.sum(U))
+        lats.append((time.perf_counter() - t0) * 1e3)
+        bad += int(not bool(res.solved))
+        warm = res
+    results["scs_warm"] = percentiles(lats)
+
+    for name, (p50, p99) in results.items():
+        note = f" ({bad}/50 unsolved)" if name == "scs_warm" and bad else ""
+        print(f"# mpc_resolve[{name}]: p50={p50:.2f} ms p99={p99:.2f} ms"
+              f"{note}", file=sys.stderr)
+    best = "ipm" if (bad or results["ipm"][0] <= results["scs_warm"][0]) \
+        else "scs_warm"
+    p50, p99 = results[best]
+    print(f"# mpc_resolve best backend: {best} (target p50 <= 10 ms)",
+          file=sys.stderr)
     return p50, p99
 
 
@@ -142,6 +226,8 @@ def main():
           f"{conv}/{batch} converged; max_residual="
           f"{float(jnp.max(res.max_residual)):.2e}", file=sys.stderr)
 
+    if os.environ.get("BENCH_PHASES", "1") != "0":
+        bench_phases(batch)
     mpc_p50, mpc_p99 = bench_mpc_latency()
 
     per_chip_target = 1000.0 / 16.0

@@ -75,13 +75,18 @@ def build_mpc_subproblem(model, cfg: MPCConfig, A, B, z, x_init, x_final,
 
 @partial(jax.jit, static_argnums=(0, 3))
 def mpc_solve(model, params, x_init, cfg: MPCConfig = MPCConfig(),
-              x_final=None):
+              x_final=None, warm=None):
     """One receding-horizon solve: returns (X, U, result).
 
     Linearization happens about the operating point each call
     (MPCAlgorithm.cpp:45-52 does it once at init; under jit the expm is
     constant-folded when params are literals, and correct when they are
     dispersed per scenario).
+
+    ``warm`` (a previous SolverResult) warm-starts the first-order
+    backend when ``cfg.solver`` is a SolverSettings with
+    ``warm_start=True`` — the natural fit for the re-solve pattern where
+    only ``x_init`` moves between calls (MPCAlgorithm.cpp:93-116).
     """
     par = model.param_vector(params)
     if x_final is None:
@@ -93,5 +98,5 @@ def mpc_solve(model, params, x_init, cfg: MPCConfig = MPCConfig(),
         params, model.init_trajectory(params, cfg.K, False))
     prog = build_mpc_subproblem(model, cfg, A, B, z, x_init, x_final,
                                 params, ref)
-    res = solve(prog, cfg.solver)
+    res = solve(prog, cfg.solver, warm)
     return prog.extract(res.x, "X"), prog.extract(res.x, "U"), res

@@ -86,16 +86,24 @@ def lqr_sim(model, params, cfg: LQRConfig = LQRConfig(),
 @partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def mpc_sim(model, params, cfg: MPCConfig = MPCConfig(),
             sim_time: float = 15.0, time_step: float = 0.01) -> SimHistory:
-    """Receding-horizon MPC closed loop (MPC_sim.cpp:16-91)."""
+    """Receding-horizon MPC closed loop (MPC_sim.cpp:16-91).
+
+    With a first-order solver config (SolverSettings, warm_start=True)
+    each re-solve warm-starts from the previous step's scaled iterates —
+    the parameterized re-solve pattern of MPCAlgorithm.cpp:93-116."""
+    from scpp_tpu.solver.scs import SolverSettings as _ScsSettings
+
     par = model.param_vector(params)
     n_steps = int(sim_time / time_step)
     x_final = params.x_final
+    use_warm = (isinstance(cfg.solver, _ScsSettings)
+                and cfg.solver.warm_start)
 
     def step(carry, i):
-        x, u_prev, done = carry
+        x, u_prev, warm, done = carry
         # plant moves while the controller "solves" (MPC_sim.cpp:67)
         x_mid = simulate(model, par, time_step, u_prev, u_prev, x, substeps=4)
-        _, U, _ = mpc_solve(model, params, x, cfg, x_final)
+        _, U, res = mpc_solve(model, params, x, cfg, x_final, warm)
         u = U[0]
         # per-step failure masking (SURVEY §5): one bad conic solve must
         # not poison the rollout — keep the previous input / freeze the
@@ -104,13 +112,17 @@ def mpc_sim(model, params, cfg: MPCConfig = MPCConfig(),
         x_next = jnp.where(done | ~_finite(x_mid), x, x_mid)
         u_next = jnp.where(done, u_prev, u)
         done_next = done | _reached(x_next, x_final)
-        return (x_next, u_next, done_next), (x_next, u_next,
-                                             (i + 1) * time_step,
-                                             jnp.logical_not(done))
+        warm_next = res if use_warm else None
+        return (x_next, u_next, warm_next, done_next), (
+            x_next, u_next, (i + 1) * time_step, jnp.logical_not(done))
 
     u0 = jnp.zeros(model.input_dim, params.x_init.dtype)
-    (x, _, done), (Xs, Us, ts, active) = jax.lax.scan(
-        step, (params.x_init, u0, jnp.asarray(False)), jnp.arange(n_steps))
+    # cold solve establishes the warm-start carry structure
+    warm0 = (mpc_solve(model, params, params.x_init, cfg, x_final)[2]
+             if use_warm else None)
+    (x, _, _, done), (Xs, Us, ts, active) = jax.lax.scan(
+        step, (params.x_init, u0, warm0, jnp.asarray(False)),
+        jnp.arange(n_steps))
     return SimHistory(X=Xs, U=Us, t=ts, steps=jnp.sum(active),
                       reached_end=done)
 

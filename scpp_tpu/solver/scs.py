@@ -51,6 +51,10 @@ class SolverSettings:
     aa_memory: int = struct.field(pytree_node=False, default=10)
     aa_reg: float = struct.field(pytree_node=False, default=1e-8)
     aa_safeguard: float = struct.field(pytree_node=False, default=2.0)
+    # route the per-iteration SOC projections through the Pallas TPU
+    # kernel (ops/soc_pallas.py) — one fused VMEM pass per size group
+    # instead of gather/norm/where/scatter HLOs; TPU targets only
+    use_pallas: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -83,9 +87,12 @@ def _soc_groups(prog: ConicProgram):
     return {size: np.asarray(heads) for size, heads in groups.items()}
 
 
-def _project_soc_blocks(w, idx):
+def _project_soc_blocks(w, idx, use_pallas=False):
     """Project stacked SOC blocks. w: (m,), idx: (G, size) static."""
     blk = w[idx]                       # (G, size)
+    if use_pallas:
+        from scpp_tpu.ops.soc_pallas import soc_project_blocks
+        return w.at[idx].set(soc_project_blocks(blk))
     t = blk[:, 0]
     z = blk[:, 1:]
     zn = jnp.linalg.norm(z, axis=1)
@@ -100,7 +107,7 @@ def _project_soc_blocks(w, idx):
     return w.at[idx].set(proj)
 
 
-def project_dual_cone(w, prog: ConicProgram, groups=None):
+def project_dual_cone(w, prog: ConicProgram, groups=None, use_pallas=False):
     """Project onto K* = R^n_eq x R+^n_ineq x prod SOC (SOC self-dual)."""
     if groups is None:
         groups = _soc_groups(prog)
@@ -110,11 +117,11 @@ def project_dual_cone(w, prog: ConicProgram, groups=None):
         out = out.at[ne:ne + ni].set(jnp.maximum(out[ne:ne + ni], 0.0))
     for size, heads in groups.items():
         idx = heads[:, None] + np.arange(size)[None, :]
-        out = _project_soc_blocks(out, idx)
+        out = _project_soc_blocks(out, idx, use_pallas)
     return out
 
 
-def project_primal_cone(w, prog: ConicProgram, groups=None):
+def project_primal_cone(w, prog: ConicProgram, groups=None, use_pallas=False):
     """Project onto K = {0}^n_eq x R+^n_ineq x prod SOC (for s)."""
     if groups is None:
         groups = _soc_groups(prog)
@@ -126,7 +133,7 @@ def project_primal_cone(w, prog: ConicProgram, groups=None):
         out = out.at[ne:ne + ni].set(jnp.maximum(out[ne:ne + ni], 0.0))
     for size, heads in groups.items():
         idx = heads[:, None] + np.arange(size)[None, :]
-        out = _project_soc_blocks(out, idx)
+        out = _project_soc_blocks(out, idx, use_pallas)
     return out
 
 
@@ -209,7 +216,8 @@ def _solve_conic_impl(prog: ConicProgram, settings: SolverSettings,
 
     def proj_C(u):
         """C = R^n x K* x R+ (free x, dual-cone y, nonneg tau)."""
-        y = project_dual_cone(u[n:n + m], prog, groups)
+        y = project_dual_cone(u[n:n + m], prog, groups,
+                              use_pallas=settings.use_pallas)
         tau = jnp.maximum(u[-1], 0.0)
         return jnp.concatenate([u[:n], y, tau[None]])
 

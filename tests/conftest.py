@@ -24,3 +24,19 @@ jax.config.update("jax_enable_x64", True)
 # jax compilation_cache.put_executable_and_time (deterministic mid-suite
 # crash, reproduced twice). The TPU bench keeps its own cache (bench.py);
 # CPU tests just recompile.
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables():
+    """Free jitted executables after each test module.
+
+    With ~150 tests in one process the accumulated XLA:CPU executables
+    eventually segfault the *compiler* on a fresh (even tiny) program —
+    observed deterministically after ~120 tests on a 2-vCPU host, at a
+    different test whenever the order shifts. Dropping the caches between
+    modules keeps the live-executable population bounded; cross-module
+    jit reuse is negligible."""
+    yield
+    jax.clear_caches()
