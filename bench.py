@@ -1,16 +1,24 @@
 """Headline benchmark: batched RocketQuat K=30 SCvx solves/s on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line (the last stdout line): {"metric", "value", "unit",
+"vs_baseline", ...}.
 
 The north-star target (BASELINE.json) is >= 1000 concurrent RocketQuat
 K=30 SCvx solves/s on a v5e-16, i.e. 62.5 solves/s/chip — ``vs_baseline``
-is measured throughput relative to that per-chip target. Each "solve" is
-a full stock-budget SCvx run (30 accepted iterations / 45 subproblem
-budget, SCvx.info parity) over dispersed initial states, run entirely
-on-device in float32 with the batched dense IPM backend.
+is measured throughput relative to that per-chip target, counting only
+*converged* solves. Each "solve" is a full stock-budget SCvx run (30
+accepted iterations / 45 subproblem budget, SCvx.info parity) over
+dispersed initial states, run entirely on-device in float32 with the
+staged block-tridiagonal IPM backend (SCvxConfig.backend="staged").
 
-Environment knobs: BENCH_BATCH (default 16), BENCH_BUDGET (default stock
-45), BENCH_REPEATS (default 3).
+Crash containment: the headline JSON is assembled right after the
+throughput section; every optional extra (phase breakdown, MPC latency,
+batch sweep) runs inside try/except and can only *add* fields. A failing
+extra prints its traceback to stderr and the headline still emits.
+
+Environment knobs: BENCH_BATCH (default 64), BENCH_BUDGET (default stock
+45), BENCH_REPEATS (default 3), BENCH_PHASES=0 to skip the phase
+breakdown, BENCH_SWEEP=1 to add a batch-size sweep.
 """
 
 import hashlib
@@ -165,19 +173,12 @@ def bench_mpc_latency():
     return p50, p99
 
 
-def main():
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
-    budget = int(os.environ.get("BENCH_BUDGET", "45"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-
-    from scpp_tpu.algos.scvx import solve_scvx
+def _flagship_config(budget):
     from scpp_tpu.configs.algorithms import SCvxConfig
-    from scpp_tpu.models import RocketQuat
-    from scpp_tpu.parallel.scenarios import disperse_initial_state
     from scpp_tpu.solver.ipm import IPMSettings
 
     # stock RocketQuat SCvx.info parameters; fp32-tuned IPM
-    cfg = SCvxConfig(
+    return SCvxConfig(
         K=30, max_iterations=30, solve_budget=budget,
         change_threshold=1e-3, nondimensionalize=True,
         substeps=6, sim_substeps=8, state_trust_region=5.0,
@@ -188,6 +189,22 @@ def main():
         solver=IPMSettings(iters=25, eps_reg=1e-4, eps_feas=1e-4,
                            refine_steps=2),
     )
+
+
+def _fence(r):
+    # force a device->host transfer: on remote-attached TPUs
+    # block_until_ready returns before execution completes, so honest
+    # timing requires a data dependency reaching the host
+    return float(jnp.sum(r.td.X)) + float(jnp.sum(r.nonlinear_cost))
+
+
+def bench_throughput(batch, budget, repeats):
+    """Flagship throughput at one batch size; returns the metrics dict."""
+    from scpp_tpu.algos.scvx import solve_scvx
+    from scpp_tpu.models import RocketQuat
+    from scpp_tpu.parallel.scenarios import disperse_initial_state
+
+    cfg = _flagship_config(budget)
     params = RocketQuat.default_params()
     pb = disperse_initial_state(RocketQuat, params, jax.random.PRNGKey(0),
                                 batch, scale=2.0)
@@ -196,54 +213,94 @@ def main():
     def run(pbatch):
         return jax.vmap(lambda p: solve_scvx(RocketQuat, p, cfg))(pbatch)
 
-    def fence(r):
-        # force a device->host transfer: on remote-attached TPUs
-        # block_until_ready returns before execution completes, so honest
-        # timing requires a data dependency reaching the host
-        return float(jnp.sum(r.td.X)) + float(jnp.sum(r.nonlinear_cost))
-
-    # compile + warm up
     t0 = time.perf_counter()
     res = run(pb)
-    fence(res)
+    _fence(res)
     compile_s = time.perf_counter() - t0
     print(f"# compile+first-run: {compile_s:.1f}s, batch={batch}, "
           f"budget={budget}, device={jax.devices()[0].platform}",
           file=sys.stderr)
 
     times = []
-    for i in range(repeats):
+    for _ in range(repeats):
         pb_i = jax.tree_util.tree_map(lambda a: a, pb)
         t0 = time.perf_counter()
         res = run(pb_i)
-        fence(res)
+        _fence(res)
         times.append(time.perf_counter() - t0)
     best = min(times)
-    solves_per_s = batch / best
 
     conv = int(jnp.sum(jnp.asarray(res.converged)))
-    print(f"# best={best:.3f}s over {repeats} runs; "
+    finite_res = jnp.where(jnp.isfinite(res.max_residual),
+                           res.max_residual, 0.0)
+    print(f"# batch={batch}: best={best:.3f}s over {repeats} runs; "
           f"{conv}/{batch} converged; max_residual="
-          f"{float(jnp.max(res.max_residual)):.2e}", file=sys.stderr)
+          f"{float(jnp.max(finite_res)):.2e}", file=sys.stderr)
+    return {
+        "batch": batch,
+        "seconds": round(best, 3),
+        "solves_per_s": round(batch / best, 3),
+        "converged_solves_per_s": round(conv / best, 3),
+        "converged": conv,
+        "compile_s": round(compile_s, 1),
+        "max_residual": float(jnp.max(finite_res)),
+    }
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    budget = int(os.environ.get("BENCH_BUDGET", "45"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+
+    r = bench_throughput(batch, budget, repeats)
+    per_chip_target = 1000.0 / 16.0
+    headline = {
+        "metric": "rocketquat_k30_scvx_converged_solves_per_s_per_chip",
+        "value": r["converged_solves_per_s"],
+        "unit": "solves/s",
+        "vs_baseline": round(r["converged_solves_per_s"] / per_chip_target,
+                             4),
+        "raw_solves_per_s": r["solves_per_s"],
+        "converged": r["converged"],
+        "batch": batch,
+        "compile_s": r["compile_s"],
+        "max_residual": round(r["max_residual"], 8),
+    }
+    # evidence even if an extra below hard-crashes the process: mirror the
+    # headline to stderr immediately
+    print("# headline (pre-extras): " + json.dumps(headline),
+          file=sys.stderr)
+
+    def guarded(name, fn):
+        try:
+            return fn()
+        except Exception:
+            import traceback
+            print(f"# extra '{name}' FAILED:", file=sys.stderr)
+            traceback.print_exc()
+            return None
+
+    if os.environ.get("BENCH_SWEEP", "0") == "1":
+        sweep = guarded("sweep", lambda: [
+            bench_throughput(b, budget, max(1, repeats - 1))
+            for b in (16, 64, 256) if b != batch])
+        if sweep:
+            headline["sweep"] = [
+                {k: s[k] for k in ("batch", "solves_per_s",
+                                   "converged_solves_per_s", "converged")}
+                for s in sweep]
 
     if os.environ.get("BENCH_PHASES", "1") != "0":
-        bench_phases(batch)
-    mpc_p50, mpc_p99 = bench_mpc_latency()
+        guarded("phases", lambda: bench_phases(batch))
 
-    per_chip_target = 1000.0 / 16.0
-    print(json.dumps({
-        "metric": "rocketquat_k30_scvx_solves_per_s_per_chip",
-        "value": round(solves_per_s, 3),
-        "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / per_chip_target, 4),
+    mpc = guarded("mpc_latency", bench_mpc_latency)
+    if mpc is not None:
         # second north-star metric (BASELINE.json): warm MPC re-solve
         # latency, target p50 <= 10 ms
-        "mpc_resolve_p50_ms": round(mpc_p50, 2),
-        "mpc_resolve_p99_ms": round(mpc_p99, 2),
-        "converged": conv,
-        "batch": batch,
-        "compile_s": round(compile_s, 1),
-    }))
+        headline["mpc_resolve_p50_ms"] = round(mpc[0], 2)
+        headline["mpc_resolve_p99_ms"] = round(mpc[1], 2)
+
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

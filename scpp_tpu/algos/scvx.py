@@ -16,6 +16,13 @@ lockstep with per-scenario masks instead of divergent control flow
 recompute the identical discretization (td unchanged) rather than caching
 it — pure-function semantics at the price of a cheap redundant vmap.
 
+Beyond the reference (which std::terminate's on solver failure,
+SCvxAlgorithm.cpp:87-91), a failed conic solve — non-finite iterate, or an
+iterate whose *linear* cost exceeds the incumbent's nonlinear cost (only
+reachable via an unclosed duality gap) — is masked per scenario: the step
+is rejected, the radius shrinks, and the previous trajectory and cost
+survive. See the failure-masking block in ``step``.
+
 Reference quirks kept for numeric parity:
   - the first subproblem solve is accepted unconditionally
     (SCvxAlgorithm.cpp:109-113),
@@ -51,13 +58,19 @@ class SCvxResult:
     converged: jnp.ndarray        # bool
     iterations: jnp.ndarray       # number of accepted iterations
     trust_region: jnp.ndarray     # final radius
-    # per-scan-step history (solve_budget entries)
+    # per-step history (solve_budget entries; slots past `steps` hold the
+    # values of the last executed step)
     all_X: jnp.ndarray
     all_U: jnp.ndarray
     accepted: jnp.ndarray         # which steps were accepted
     nonlinear_cost: jnp.ndarray   # J after each step
     linear_cost: jnp.ndarray      # L = ||nu||_1 after each step
-    max_residual: jnp.ndarray     # worst conic-solver residual seen
+    res_pri: jnp.ndarray          # conic primal residual per step
+    res_dua: jnp.ndarray          # conic dual residual per step
+    steps: jnp.ndarray            # number of executed subproblem solves
+    # failure diagnostics (survive divergence — SURVEY §5 failure detection)
+    max_residual: jnp.ndarray     # worst *finite* conic residual seen
+    first_failure: jnp.ndarray    # step index of first masked failure (-1)
 
 
 def build_scvx_subproblem(model, params, td: TrajectoryData,
@@ -157,8 +170,9 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
     dtype = td0.X.dtype
     w_nu = jnp.asarray(cfg.weight_virtual_control, dtype)
 
-    def step(carry):
-        td, trust, last_J, has_last, accepts, converged, done, max_res = carry
+    def step(i, carry):
+        (td, trust, last_J, has_last, accepts, converged, done, max_res,
+         first_fail) = carry
 
         dd = multiple_shooting(model, par, td, substeps=cfg.substeps,
                                method=cfg.integrator, variable_time=False)
@@ -190,18 +204,31 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
         J_new = nonlinear_defect_cost(model, par, new_td, cfg.sim_substeps,
                                       cfg.integrator)
 
-        # per-scenario failure masking (SURVEY §5): a non-finite subproblem
-        # solution or cost must not poison the carried trajectory — treat
-        # the step as rejected instead of std::terminate'ing like the
-        # reference (SCvxAlgorithm.cpp:87-91)
-        step_ok = (jnp.all(jnp.isfinite(new_td.X))
-                   & jnp.all(jnp.isfinite(new_td.U))
-                   & jnp.isfinite(J_new) & jnp.isfinite(L))
-
-        # ratio test (SCvxAlgorithm.cpp:95-154)
+        # per-scenario failure masking (SURVEY §5): a failed subproblem
+        # solve must not poison the carried trajectory — treat the step as
+        # rejected instead of std::terminate'ing like the reference
+        # (SCvxAlgorithm.cpp:87-91). Two failure modes:
+        #   (a) non-finite solution / costs;
+        #   (b) the returned iterate is *worse in the linear model* than
+        #       the incumbent: the previous td is always feasible for the
+        #       subproblem (nu absorbs its own linear defect, so its cost
+        #       is ~last_J), hence a true optimum satisfies L <= last_J up
+        #       to integration mismatch. L > last_J means the conic solver
+        #       exhausted its budget with a large duality gap — with ECOS
+        #       this state is unreachable (it polishes to optimality or
+        #       errors out), but a fixed-budget IPM can land here, and the
+        #       ratio test would *accept* it (actual ~ predicted, both
+        #       negative, rho ~ 1) and grow the radius into runaway.
         actual = last_J - J_new
         predicted = last_J - L
         first = jnp.logical_not(has_last)
+        finite_ok = (jnp.all(jnp.isfinite(new_td.X))
+                     & jnp.all(jnp.isfinite(new_td.U))
+                     & jnp.isfinite(J_new) & jnp.isfinite(L))
+        solve_ok = jnp.logical_or(first, predicted > -cfg.change_threshold)
+        step_ok = finite_ok & solve_ok
+
+        # ratio test (SCvxAlgorithm.cpp:95-154)
         conv_now = jnp.logical_and(jnp.logical_not(first),
                                    jnp.abs(predicted) < cfg.change_threshold)
         rho = actual / jnp.where(jnp.abs(predicted) < 1e-30,
@@ -234,31 +261,42 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
             done, jnp.logical_or(converged_next,
                                  accepts_next >= cfg.max_iterations))
         trust_next = jnp.where(done, trust, trust_new)
-        max_res_next = jnp.where(done, max_res,
-                                 jnp.maximum(max_res,
-                                             jnp.maximum(res.res_pri,
-                                                         res.res_dua)))
+        # worst *finite* feasibility residual; non-finite values must not
+        # poison the running max (gap-induced suboptimality is handled by
+        # the solve_ok guard above, not folded in here)
+        step_res = jnp.maximum(res.res_pri, res.res_dua)
+        max_res_next = jnp.where(
+            done | jnp.logical_not(jnp.isfinite(step_res)), max_res,
+            jnp.maximum(max_res, step_res))
+        first_fail_next = jnp.where(
+            (first_fail < 0) & jnp.logical_not(done)
+            & jnp.logical_not(step_ok), i, first_fail)
 
         out = (td_next.X, td_next.U,
                jnp.logical_and(accept, jnp.logical_not(done)),
-               J_new, L)
+               J_new, L, res.res_pri, res.res_dua)
         return (td_next, trust_next, last_J_next, jnp.asarray(True),
-                accepts_next, converged_next, done_next, max_res_next), out
+                accepts_next, converged_next, done_next, max_res_next,
+                first_fail_next), out
 
     carry0 = (td0, jnp.asarray(cfg.trust_region, dtype),
               jnp.asarray(0.0, dtype), jnp.asarray(False),
               jnp.asarray(0, jnp.int32),
-              jnp.asarray(False), jnp.asarray(False), jnp.asarray(0.0, dtype))
+              jnp.asarray(False), jnp.asarray(False), jnp.asarray(0.0, dtype),
+              jnp.asarray(-1, jnp.int32))
 
     # early-exit while_loop instead of a fixed-trip scan over the budget:
     # converged solves stop iterating (under vmap the batching rule keeps
     # stepping only while some scenario is active, with done scenarios'
-    # carries select-frozen — identical results to the scan). Per-step
-    # history is written into preallocated buffers carried through the loop.
+    # carries select-frozen — identical carried results to the scan).
+    # Per-step history is written into preallocated buffers carried through
+    # the loop; slots past the exit step are back-filled below.
     budget = cfg.solve_budget
     hist0 = (jnp.zeros((budget,) + td0.X.shape, dtype),
              jnp.zeros((budget,) + td0.U.shape, dtype),
              jnp.zeros((budget,), bool),
+             jnp.zeros((budget,), dtype),
+             jnp.zeros((budget,), dtype),
              jnp.zeros((budget,), dtype),
              jnp.zeros((budget,), dtype))
 
@@ -269,17 +307,21 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
 
     def w_body(state):
         i, carry, hist = state
-        carry, out = step(carry)
-        hX, hU, hacc, hJ, hL = hist
-        oX, oU, oacc, oJ, oL = out
-        hist = (hX.at[i].set(oX), hU.at[i].set(oU), hacc.at[i].set(oacc),
-                hJ.at[i].set(oJ), hL.at[i].set(oL))
+        carry, out = step(i, carry)
+        hist = tuple(h.at[i].set(o) for h, o in zip(hist, out))
         return (i + 1, carry, hist)
 
-    _, (td, trust, _, _, accepts, converged, _, max_res), ys = \
-        jax.lax.while_loop(w_cond, w_body,
-                           (jnp.asarray(0, jnp.int32), carry0, hist0))
-    all_X, all_U, accepted, Js, Ls = ys
+    n_steps, (td, trust, _, _, accepts, converged, _, max_res, first_fail), \
+        ys = jax.lax.while_loop(w_cond, w_body,
+                                (jnp.asarray(0, jnp.int32), carry0, hist0))
+
+    # back-fill trailing history slots (steps never executed after early
+    # exit) with the last executed step's values, so e.g. J[-1] is the
+    # final cost rather than 0
+    idx = jnp.minimum(jnp.arange(budget), jnp.maximum(n_steps - 1, 0))
+    all_X, all_U, accepted, Js, Ls, rps, rds = (h[idx] for h in ys)
+    # ...except `accepted`, where a phantom repeat would miscount
+    accepted = jnp.where(jnp.arange(budget) < n_steps, accepted, False)
 
     if cfg.nondimensionalize:
         td = model.unscale_trajectory(params, td)
@@ -287,5 +329,6 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
     return SCvxResult(
         td=td, converged=converged, iterations=accepts, trust_region=trust,
         all_X=all_X, all_U=all_U, accepted=accepted,
-        nonlinear_cost=Js, linear_cost=Ls, max_residual=max_res,
+        nonlinear_cost=Js, linear_cost=Ls, res_pri=rps, res_dua=rds,
+        steps=n_steps, max_residual=max_res, first_failure=first_fail,
     )

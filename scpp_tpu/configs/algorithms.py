@@ -130,6 +130,11 @@ class MPCConfig:
     K: int = 7
     time_horizon: float = 1.5
     nondimensionalize: bool = False
+    # parsed for MPC.info compatibility, intentionally unused: the
+    # reference flag selects baked cvx::par vs pointer-backed cvx::dynpar
+    # dynamics (MPCProblem.cpp:33-55) — a rebuild-avoidance knob. Under
+    # jit the dynamics matrices are always traced arguments (re-solves
+    # never rebuild), so both reference modes behave identically here.
     constant_dynamics: bool = True
     intermediate_cost_active: bool = False
     state_weights_intermediate: tuple = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0)

@@ -112,7 +112,14 @@ def mpc_sim(model, params, cfg: MPCConfig = MPCConfig(),
         x_next = jnp.where(done | ~_finite(x_mid), x, x_mid)
         u_next = jnp.where(done, u_prev, u)
         done_next = done | _reached(x_next, x_final)
-        warm_next = res if use_warm else None
+        # gate the warm carry on solve health: carrying a diverged
+        # SolverResult would feed NaN iterates into every subsequent
+        # warm-started solve, permanently disabling the controller
+        if use_warm:
+            solve_ok = _finite(U) & res.solved
+            warm_next = tree_select(solve_ok, res, warm)
+        else:
+            warm_next = None
         return (x_next, u_next, warm_next, done_next), (
             x_next, u_next, (i + 1) * time_step, jnp.logical_not(done))
 

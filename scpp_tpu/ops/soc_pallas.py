@@ -58,7 +58,10 @@ def _soc_kernel(q: int, x_ref, o_ref):
     t_new = jnp.where(inside, t, jnp.where(below, 0.0, a))
     z_scale = jnp.where(inside, 1.0, jnp.where(below, 0.0, a / safe))
     out = jnp.where(is_z, x * z_scale[:, None], x)
-    out = out.at[:, 0].set(t_new)
+    # lane-0 write via select, NOT out.at[:, 0].set(...): the scatter that
+    # .at lowers to is unimplemented in Pallas TPU (it crashed the r02 bench
+    # compiled path; interpret=True hid it)
+    out = jnp.where(lane == 0, t_new[:, None], out)
     o_ref[:] = out
 
 

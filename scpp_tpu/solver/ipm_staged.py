@@ -384,9 +384,15 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
     # the dual initialization starts at |z| ~ 1e3, mu_0 ~ 1e3 and the
     # predictor-corrector spends its budget scaling down — and stalls.
     # x is invariant; (y, z, s-complement) scale back by c_scale below.
-    c_scale = jnp.maximum(1.0, jnp.maximum(jnp.max(jnp.abs(c_st)),
-                                           jnp.max(jnp.abs(c_g))
-                                           if g else 0.0))
+    # MEDIAN of the nonzero |c|, not the max: Ruiz column scales can blow
+    # a single cost entry up 1e3x (e.g. the nu_abs column of a state whose
+    # dynamics row carries a 1/J_z ~ 1e6 coefficient), and normalizing by
+    # that outlier crushes the typical scaled objective to ~1e-5 — which
+    # silently turned the relative-gap test below into "accept anything"
+    cabs = jnp.concatenate([jnp.abs(c_st).ravel(), jnp.abs(c_g).ravel()])
+    c_scale = jnp.maximum(
+        1.0, jnp.nanmedian(jnp.where(cabs > 0, cabs, jnp.nan)))
+    c_scale = jnp.where(jnp.isfinite(c_scale), c_scale, 1.0)
     b_scale = jnp.maximum(1.0, jnp.sqrt(
         jnp.sum(b_eq ** 2) + jnp.sum(b_geq ** 2)
         + jnp.sum(h ** 2) + jnp.sum(h_g ** 2)))
@@ -598,10 +604,12 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
     if _os.environ.get("SCPP_IPM_DEBUG"):
         jax.debug.print(
             "init |x0|={a:.3e} |s0|={b:.3e} |z0|={c:.3e} shift_p={d:.3e} "
-            "shift_d={e:.3e} |s_cand|={f:.3e} |z_cand|={g:.3e}",
+            "shift_d={e:.3e} |s_cand|={f:.3e} |z_cand|={g:.3e} "
+            "c_scale={cs:.3e} b_scale={bs:.3e}",
             a=jnp.max(jnp.abs(x0)), b=jnp.max(jnp.abs(s0[0])),
             c=jnp.max(jnp.abs(z0[0])), d=shift_p, e=shift_d,
-            f=jnp.max(jnp.abs(s_cand[0])), g=jnp.max(jnp.abs(z0c)))
+            f=jnp.max(jnp.abs(s_cand[0])), g=jnp.max(jnp.abs(z0c)),
+            cs=c_scale, bs=b_scale)
 
     # in-loop residuals: un-Ruiz'd scaled residuals, scaled back to original
     # units and normalized by the original data norms
@@ -613,6 +621,44 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
     pres_fac = b_scale / bnorm_o
     dres_fac = c_scale / cnorm_o
 
+    def residuals_and_score(x, y, s, z):
+        """KKT residuals of an iterate + the original-space score used for
+        best-iterate tracking (shared by the loop body and the post-loop
+        scoring of the final stepped iterate)."""
+        at_st, at_g = A_rmv(*y)
+        gt_st, gt_g = G_rmv(*z)
+        rx = (c_st + at_st + gt_st, c_g + at_g + gt_g)
+        a_st, a_g = A_mv(*x)
+        ry = (a_st - b_eq, a_g - b_geq)
+        gv_st, gv_g = G_mv(*x)
+        rz = (gv_st + s[0] - h, gv_g + s[1] - h_g)
+        gap = dot(s, z)
+        pres = jnp.sqrt(
+            jnp.sum((ry[0] / d_eq) ** 2)
+            + (jnp.sum((ry[1] / d_geq) ** 2) if meg else 0.0)
+            + jnp.sum((rz[0] / d_c) ** 2)
+            + (jnp.sum((rz[1] / d_cg) ** 2) if mcg else 0.0)) * pres_fac
+        dres = jnp.sqrt(
+            jnp.sum((rx[0] / E_st) ** 2)
+            + (jnp.sum((rx[1] / E_g) ** 2) if g else 0.0)) * dres_fac
+        obj_now = dot((c_st, c_g), x)
+        # gap criterion in ORIGINAL units, relative to the original-scale
+        # primal/dual objectives: scaled-space tolerances are meaningless
+        # here — s'z(original) = c_scale*b_scale * s'z(scaled), so a scaled
+        # gap of eps corresponds to an original gap of ~1e5*eps, and judging
+        # the scaled value let the loop declare victory on iterates that
+        # were feasible but ~100% suboptimal (which corrupted the SCvx
+        # ratio test into runaway trust-region growth)
+        by_now = (jnp.sum(b_eq * y[0]) + jnp.sum(h * z[0])
+                  + (jnp.sum(b_geq * y[1]) if meg else 0.0)
+                  + (jnp.sum(h_g * z[1]) if mcg else 0.0))
+        cb = c_scale * b_scale
+        relgap = (cb * jnp.abs(gap)
+                  / (1.0 + cb * (jnp.abs(obj_now) + jnp.abs(by_now))))
+        score = jnp.maximum(jnp.maximum(pres, dres), relgap)
+        score = jnp.where(jnp.isfinite(score), score, jnp.inf)
+        return rx, ry, rz, gap, pres, dres, relgap, obj_now, score
+
     def body(carry, _):
         x, y, s, z, done, best = carry
         x_st, x_g = x
@@ -620,14 +666,8 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
         s_st, s_g = s
         z_st, z_g = z
 
-        at_st, at_g = A_rmv(y_st, y_g)
-        gt_st, gt_g = G_rmv(z_st, z_g)
-        rx = (c_st + at_st + gt_st, c_g + at_g + gt_g)
-        a_st, a_g = A_mv(x_st, x_g)
-        ry = (a_st - b_eq, a_g - b_geq)
-        gv_st, gv_g = G_mv(x_st, x_g)
-        rz = (gv_st + s_st - h, gv_g + s_g - h_g)
-        gap = dot(s, z)
+        rx, ry, rz, gap, pres, dres, relgap, obj_now, score = \
+            residuals_and_score(x, y, s, z)
         mu = gap / nu_deg
 
         rep, lam = cones.nt_scaling(s_st, z_st)
@@ -653,13 +693,21 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
                       (z_st + alpha_aff * dza[0], z_g + alpha_aff * dza[1]))
         sigma = jnp.clip((jnp.maximum(gap_aff, 0.0) /
                           jnp.maximum(gap, 1e-30)) ** 3, 0.0, 1.0)
+        # a non-finite predictor (fp32 KKT breakdown at mu ~ roundoff)
+        # must not poison the corrector through sigma — fall back to a
+        # pure centering step; the finiteness guard below still freezes
+        # the iterate if the corrector direction is bad too
+        sigma = jnp.where(jnp.isfinite(sigma), sigma, 1.0)
 
-        # corrector
+        # corrector (Mehrotra second-order term dropped if the predictor
+        # broke down — degrades to a centering step instead of NaN)
         corr_st = cones.mul(cones.apply_Winv(rep, dsa[0]),
                             cones.apply_W(rep, dza[0]))
         corr_g = cones_g.mul(
             cones_g.apply_Winv(rep_g, dsa[1][None]),
             cones_g.apply_W(rep_g, dza[1][None]))[0]
+        corr_st = jnp.where(jnp.isfinite(corr_st), corr_st, 0.0)
+        corr_g = jnp.where(jnp.isfinite(corr_g), corr_g, 0.0)
         d_st = cones.mul(lam_inv[0],
                          -lam_lam[0] - corr_st + sigma * mu * e_st)
         d_g = cones_g.mul(lam_inv[1][None],
@@ -681,34 +729,17 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
         s_n = (s_st + alpha * dsc[0], s_g + alpha * dsc[1])
         z_n = (z_st + alpha * dzc[0], z_g + alpha * dzc[1])
 
-        # original-space residual norms (undo equilibration)
-        pres = jnp.sqrt(
-            jnp.sum((ry[0] / d_eq) ** 2)
-            + (jnp.sum((ry[1] / d_geq) ** 2) if meg else 0.0)
-            + jnp.sum((rz[0] / d_c) ** 2)
-            + (jnp.sum((rz[1] / d_cg) ** 2) if mcg else 0.0)) * pres_fac
-        dres = jnp.sqrt(
-            jnp.sum((rx[0] / E_st) ** 2)
-            + (jnp.sum((rx[1] / E_g) ** 2) if g else 0.0)) * dres_fac
-        obj_now = dot((c_st, c_g), x)
-        # gap criterion *relative to the objective*, not spread over the
-        # cone degree: after c/b normalization the optimal objective can be
-        # ~1e-5 in scaled units, and an absolute per-cone tolerance lets the
-        # loop declare victory with an O(1) relative gap — the iterate is
-        # feasible but badly suboptimal, which corrupted the SCvx ratio test
-        relgap = jnp.abs(gap) / jnp.maximum(1.0, jnp.abs(obj_now))
         conv = (pres < settings.eps_feas) & (dres < settings.eps_feas) & \
                (relgap < settings.eps_feas)
 
         import os as _os
         if _os.environ.get("SCPP_IPM_DEBUG"):
             jax.debug.print(
-                "pres={p:.3e} dres={d:.3e} gap={g:.3e} mu={m:.3e} "
-                "sig={s:.3e} a_aff={aa:.3e} a={a:.3e} obj={o:.3e}",
-                p=pres, d=dres, g=gap, m=mu, s=sigma, aa=alpha_aff,
-                a=alpha, o=obj_now)
-        score = jnp.maximum(jnp.maximum(pres, dres), relgap)
-        score = jnp.where(jnp.isfinite(score), score, jnp.inf)
+                "pres={p:.3e} dres={d:.3e} gap={g:.3e} relgap={rg:.3e} "
+                "mu={m:.3e} sig={s:.3e} a_aff={aa:.3e} a={a:.3e} "
+                "obj={o:.3e}",
+                p=pres, d=dres, g=gap, rg=relgap, m=mu, s=sigma,
+                aa=alpha_aff, a=alpha, o=obj_now)
         bx, by, bs, bz, bscore = best
         better = score < bscore
 
@@ -749,8 +780,23 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
         carry, _ = body(carry, None)
         return (i + 1, carry)
 
-    _, (_, _, _, _, _, best) = jax.lax.while_loop(
+    _, (x_f, y_f, s_f, z_f, _, best) = jax.lax.while_loop(
         w_cond, w_body, (jnp.asarray(0, jnp.int32), carry0))
+
+    # score the final post-step iterate into `best`: the loop body scores
+    # the *pre-step* iterate, so on the exiting iteration the freshly
+    # stepped x_n would otherwise go unscored and the returned solution
+    # could be one IPM step staler than the fixed-trip scan's
+    *_, fscore = residuals_and_score(x_f, y_f, s_f, z_f)
+    bx, by, bs, bz, bscore = best
+    fbetter = fscore < bscore
+
+    def _fsel(new, old):
+        return (jnp.where(fbetter, new[0], old[0]),
+                jnp.where(fbetter, new[1], old[1]))
+
+    best = (_fsel(x_f, bx), _fsel(y_f, by), _fsel(s_f, bs),
+            _fsel(z_f, bz), jnp.where(fbetter, fscore, bscore))
     (x_st, x_g), (y_st, y_g), (s_st, s_g), (z_st, z_g), _ = best
 
     # unscale to original data:  x = E x^ b_s,  y = D y^ c_s,  s = s^ b_s / D

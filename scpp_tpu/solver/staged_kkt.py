@@ -25,7 +25,7 @@ O(K w^3) total instead of the dense O((K w)^3).
 
 Layout conventions:
   - D: (K, w, w) stage diagonal blocks, O: (K-1, w, w) sub-diagonal with
-    M[k+1, k] = O[k] (same as solver/banded.py).
+    M[k+1, k] = O[k].
   - every stage has the same static signature: first ``p`` columns +1
     (primal), the remaining w-p columns -1 (equality multipliers).
   - arrow border: Bg: (K, w, g) coupling stages to the global block,

@@ -23,6 +23,17 @@ def r2d_params():
     return Rocket2D.default_params()
 
 
+def _assert_controls_close(Ua, Ub, tol=1e-3):
+    """1e-3 relative to each control component's magnitude: U columns are
+    dimensional and wildly mixed-scale (gimbal ~0.3 rad, thrust ~4e5 N),
+    so a flat rtol+atol pair either fails on the angle or tolerates ~400 N
+    on the thrust. Normalizing per component keeps the intended relative
+    contract with no absolute escape hatch."""
+    Ua, Ub = np.asarray(Ua), np.asarray(Ub)
+    scale = np.maximum(np.max(np.abs(Ub), axis=0), 1e-9)
+    np.testing.assert_allclose(Ua / scale, Ub / scale, atol=tol, rtol=0)
+
+
 def test_scvx_staged_matches_dense_rocket2d(r2d_params):
     cfg_d = SCvxConfig(K=8, solve_budget=14, max_iterations=12,
                        substeps=4, sim_substeps=5, backend="dense")
@@ -33,10 +44,8 @@ def test_scvx_staged_matches_dense_rocket2d(r2d_params):
     # controls of the final accepted iterate agree at the BASELINE.json
     # accuracy contract (1e-3 on controls). The backends solve equivalent
     # but differently-encoded subproblems (explicit-nu equality vs defect
-    # epigraph), so at finite IPM tolerance the iterates differ at ~1e-4;
-    # compare relative: U is dimensional (thrust ~4e5 N).
-    np.testing.assert_allclose(np.asarray(rs.td.U), np.asarray(rd.td.U),
-                               rtol=1e-3, atol=1e-3)
+    # epigraph), so at finite IPM tolerance the iterates differ at ~1e-4.
+    _assert_controls_close(rs.td.U, rd.td.U)
     assert float(rs.max_residual) < 1e-7
 
 
@@ -46,8 +55,7 @@ def test_sc_staged_matches_dense_rocket2d(r2d_params):
     cfg_s = replace(cfg_d, backend="staged")
     rd = solve_sc(Rocket2D, r2d_params, cfg_d)
     rs = solve_sc(Rocket2D, r2d_params, cfg_s)
-    np.testing.assert_allclose(np.asarray(rs.td.U), np.asarray(rd.td.U),
-                               rtol=1e-3, atol=1e-3)
+    _assert_controls_close(rs.td.U, rd.td.U)
     np.testing.assert_allclose(float(rs.td.t), float(rd.td.t), rtol=1e-4)
     assert float(rs.max_residual) < 1e-7
 
@@ -59,8 +67,7 @@ def test_sc_staged_zoh_matches_dense(r2d_params):
     cfg_s = replace(cfg_d, backend="staged")
     rd = solve_sc(Rocket2D, r2d_params, cfg_d)
     rs = solve_sc(Rocket2D, r2d_params, cfg_s)
-    np.testing.assert_allclose(np.asarray(rs.td.U), np.asarray(rd.td.U),
-                               rtol=1e-3, atol=1e-3)
+    _assert_controls_close(rs.td.U, rd.td.U)
 
 
 def test_scvx_staged_rocketquat_converges():
