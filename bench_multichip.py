@@ -1,0 +1,117 @@
+"""Sharded-throughput check on a virtual 8-device CPU mesh.
+
+BASELINE.json asks for solves/s/chip at 1 chip / 1 host / >= 2 hosts.
+Multi-chip hardware is not available in this environment, so this script
+measures what CAN be measured without it:
+
+  1. the full flagship batch (RocketQuat K=30 SCvx, fp32, stock budget)
+     solved unsharded (vmap on one device) vs sharded (shard_map over an
+     8-device mesh on the same physical cores);
+  2. the sharding overhead: since per-scenario solves are embarrassingly
+     parallel (no cross-scenario math, SURVEY §2), the sharded program is
+     the same per-device computation plus dispatch/layout cost — on real
+     chips scaling is linear up to that overhead, which this quantifies;
+  3. per-scenario numerical equality sharded-vs-unsharded (the
+     distributed-correctness contract from SURVEY §4).
+
+Virtual devices share host cores, so *throughput* here is not a chip
+throughput — the overhead percentage and the equality check are the
+meaningful outputs. Prints one JSON line.
+
+Run: python bench_multichip.py   (forces CPU + 8 virtual devices itself)
+Env: MC_BATCH (default 16), MC_DEVICES (default 8), MC_SMALL=1 for a
+Rocket2D smoke configuration.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count="
+    + os.environ.get("MC_DEVICES", "8"))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main():
+    batch = int(os.environ.get("MC_BATCH", "16"))
+    n_dev = int(os.environ.get("MC_DEVICES", "8"))
+    small = os.environ.get("MC_SMALL", "0") == "1"
+
+    from scpp_tpu.configs.algorithms import SCvxConfig
+    from scpp_tpu.models import Rocket2D, RocketQuat
+    from scpp_tpu.parallel.scenarios import (
+        disperse_initial_state, make_scenario_mesh, solve_batch)
+    from scpp_tpu.solver.ipm import IPMSettings
+
+    if small:
+        model = Rocket2D
+        cfg = SCvxConfig(K=10, max_iterations=8, solve_budget=12,
+                         substeps=4, sim_substeps=5,
+                         solver=IPMSettings(iters=20, eps_reg=1e-4,
+                                            eps_feas=1e-4, refine_steps=2))
+    else:
+        model = RocketQuat
+        # the bench.py flagship configuration (fp32 IPM settings)
+        cfg = SCvxConfig(
+            K=30, max_iterations=30, solve_budget=45, change_threshold=1e-3,
+            nondimensionalize=True, substeps=6, sim_substeps=8,
+            solver=IPMSettings(iters=25, eps_reg=1e-4, eps_feas=1e-4,
+                               refine_steps=2))
+
+    params = model.default_params()
+    pb = disperse_initial_state(model, params, jax.random.PRNGKey(0),
+                                batch, scale=2.0)
+
+    devices = jax.devices()
+    assert len(devices) >= n_dev, f"{len(devices)} devices < {n_dev}"
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        r = fn()
+        jax.block_until_ready(r)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r = fn()
+        jax.block_until_ready(r)
+        return r, time.perf_counter() - t0, compile_s
+
+    r_un, t_un, c_un = timed(lambda: solve_batch(model, pb, cfg))
+    mesh = make_scenario_mesh(devices[:n_dev])
+    r_sh, t_sh, c_sh = timed(lambda: solve_batch(model, pb, cfg, mesh=mesh))
+
+    # per-scenario equality (scenario solves share no math; sharding must
+    # not change results)
+    du = np.asarray(r_un.td.U)
+    ds = np.asarray(r_sh.td.U)
+    max_dev = float(np.max(np.abs(du - ds)))
+
+    out = {
+        "metric": "sharded_vs_unsharded_flagship_batch",
+        "batch": batch,
+        "devices": n_dev,
+        "unsharded_s": round(t_un, 3),
+        "sharded_s": round(t_sh, 3),
+        "overhead_pct": round(100.0 * (t_sh - t_un) / t_un, 2),
+        "compile_unsharded_s": round(c_un, 1),
+        "compile_sharded_s": round(c_sh, 1),
+        "converged_unsharded": int(np.asarray(r_un.converged).sum()),
+        "converged_sharded": int(np.asarray(r_sh.converged).sum()),
+        "max_control_deviation": max_dev,
+        "note": ("virtual CPU devices share host cores; scenarios are "
+                 "independent so real-chip scaling is linear minus this "
+                 "overhead"),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,4 +1,10 @@
-"""Closed-loop SC-as-MPC driver (SC_sim.cpp analog) at small scale."""
+"""Closed-loop SC-as-MPC driver (SC_sim.cpp analog).
+
+Two tiers: a fast toy-scale smoke test, and the reference-contract test
+at stock K=25 — warm-started full SC re-solves every 50 ms until the
+loop exits via SC_sim.cpp:57's stop conditions (||x - x_final|| < 0.02
+or td.t < 0.25) with the plant in a terminally-converged landing state.
+"""
 
 import os
 
@@ -33,3 +39,34 @@ def test_sc_sim_descends_toward_target():
     # descending with arrested velocity growth, all finite
     assert np.all(np.isfinite(X[:steps]))
     assert X[steps - 1, 1] < x0[1]
+
+
+def test_sc_sim_terminal_convergence_stock_K():
+    """Reference contract (SC_sim.cpp:40-65) at stock K=25: the SC-as-MPC
+    loop must actually land — exit through the contract stop conditions
+    (distance < 0.02 or remaining plan time < 0.25 s), NOT by exhausting
+    its step budget, with the plant terminally converged: on the pad,
+    at the commanded -1 m/s touchdown sink rate, upright.
+
+    Terminal-descent scenario (8 m up, 1.5 m lateral offset, -2 m/s) with
+    final_time=3 s so the free-final-time initialization matches the hop;
+    from the stock 800 m scenario the flight is ~15 s = 300 steps, which
+    the reference's own 100-step cap cannot cover either. ~60 s runtime
+    (a lax.scan over full warm-started SC solves)."""
+    x0 = jnp.asarray([1.5, 8.0, 0.0, -2.0, 0.02, 0.0])
+    p = Rocket2D.default_params().replace(x_init=x0, final_time=3.0)
+    cfg = SCConfig(K=25, max_iterations=8, substeps=6, sim_substeps=6,
+                   solver=IPMSettings(iters=25, eps_feas=1e-6, eps_reg=1e-4,
+                                      refine_steps=2))
+    hist = sc_sim(Rocket2D, p, cfg, max_steps=120, time_step=0.05)
+    steps = int(hist.steps)
+    assert bool(np.asarray(hist.reached_end)), (
+        f"loop exhausted {steps} steps without hitting a stop condition")
+    x_end = np.asarray(hist.X)[steps - 1]
+    xf = np.asarray(p.x_final)
+    # terminally converged landing state
+    assert np.linalg.norm(x_end - xf) < 0.5
+    assert abs(x_end[0]) < 0.1          # lateral position on the pad
+    assert 0.0 <= x_end[1] < 0.3        # on the deck (altitude, m)
+    assert abs(x_end[3] + 1.0) < 0.5    # commanded -1 m/s sink rate
+    assert abs(x_end[4]) < 0.05         # upright
