@@ -92,9 +92,11 @@ def bench_phases(batch):
     dd_b = timed("discretize", disc, tdb)
 
     def one(td_, dd_):
+        # reference formulation (input-only trust region), matching the
+        # headline configuration
         prog = build_scvx_subproblem_staged(
             RocketQuat, p, td_, dd_, jnp.asarray(5.0, dtype),
-            jnp.asarray(1e3, dtype), ref, jnp.asarray(5.0, dtype))
+            jnp.asarray(1e3, dtype), ref, None)
         return solve_staged_ipm(prog, solver).x_stage
     timed("build+solve", jax.jit(jax.vmap(one)), tdb, dd_b)
 
@@ -177,11 +179,12 @@ def _flagship_config(budget):
     from scpp_tpu.configs.algorithms import SCvxConfig
     from scpp_tpu.solver.ipm import IPMSettings
 
-    # stock RocketQuat SCvx.info parameters; fp32-tuned IPM
+    # stock RocketQuat SCvx.info parameters, reference-exact formulation
+    # (input-only trust region, SCvxProblem.cpp:58-68); fp32-tuned IPM
     return SCvxConfig(
         K=30, max_iterations=30, solve_budget=budget,
         change_threshold=1e-3, nondimensionalize=True,
-        substeps=6, sim_substeps=8, state_trust_region=5.0,
+        substeps=6, sim_substeps=8,
         # fp32-tuned: eps_reg is *relative* (Jacobi-equilibrated KKT) and
         # must sit above fp32 matmul roundoff (~n*eps_f32); residuals are
         # polished by iterative refinement; 1e-4 feasibility is ample for

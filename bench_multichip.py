@@ -89,10 +89,21 @@ def main():
     r_sh, t_sh, c_sh = timed(lambda: solve_batch(model, pb, cfg, mesh=mesh))
 
     # per-scenario equality (scenario solves share no math; sharding must
-    # not change results)
+    # not change results). Final trajectories can diverge macroscopically
+    # from ulp-level fp32 differences (XLA emits different fusions for the
+    # B and B/n_dev batch sizes; SCvx accept/reject cascades amplify
+    # them), so ALSO compare the step-0 subproblem solution — a genuine
+    # sharding bug shows up there, amplification does not — and the final
+    # defect-cost basin.
     du = np.asarray(r_un.td.U)
     ds = np.asarray(r_sh.td.U)
     max_dev = float(np.max(np.abs(du - ds)))
+    step0_dev = float(np.max(np.abs(np.asarray(r_un.all_U[:, 0])
+                                    - np.asarray(r_sh.all_U[:, 0]))))
+    u_scale = float(np.max(np.abs(du)))
+    J_u = np.asarray(r_un.nonlinear_cost)[:, -1]
+    J_s = np.asarray(r_sh.nonlinear_cost)[:, -1]
+    J_dev = float(np.max(np.abs(J_u - J_s)))
 
     out = {
         "metric": "sharded_vs_unsharded_flagship_batch",
@@ -106,6 +117,8 @@ def main():
         "converged_unsharded": int(np.asarray(r_un.converged).sum()),
         "converged_sharded": int(np.asarray(r_sh.converged).sum()),
         "max_control_deviation": max_dev,
+        "step0_control_deviation_rel": step0_dev / max(u_scale, 1e-30),
+        "final_cost_deviation": J_dev,
         "note": ("virtual CPU devices share host cores; scenarios are "
                  "independent so real-chip scaling is linear minus this "
                  "overhead"),

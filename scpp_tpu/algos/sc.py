@@ -37,7 +37,7 @@ from scpp_tpu.algos.staged_problems import build_sc_subproblem_staged
 from scpp_tpu.configs.algorithms import SCConfig
 from scpp_tpu.ops.discretization import multiple_shooting
 from scpp_tpu.solver import Aff, ConeProblemBuilder, concat, solve
-from scpp_tpu.solver.ipm_staged import solve_staged_ipm
+from scpp_tpu.solver.ipm_staged import StagedSolverResult, solve_staged_ipm
 from scpp_tpu.trajectory import DiscretizationData, TrajectoryData
 
 __all__ = ["SCResult", "solve_sc", "build_sc_subproblem"]
@@ -156,7 +156,7 @@ def solve_sc(model, params, cfg: SCConfig = SCConfig(),
     fft = cfg.free_final_time
 
     def step(carry, _):
-        td, w_tr, iters, converged, done = carry
+        td, w_tr, iters, converged, done, warm, has_warm = carry
 
         dd = multiple_shooting(model, par, td, substeps=cfg.substeps,
                                method=cfg.integrator, variable_time=fft)
@@ -170,7 +170,11 @@ def solve_sc(model, params, cfg: SCConfig = SCConfig(),
                                  "(the norm1_nu epigraph is not stage-local)")
             prog = build_sc_subproblem_staged(model, params, td, dd, weights,
                                               ref, fft)
-            res = solve_staged_ipm(prog, cfg.solver)
+            # cross-iteration IPM warm start (no ECOS analog — the
+            # reference cold-starts every solve, SCAlgorithm.cpp:78)
+            res = solve_staged_ipm(prog, cfg.solver,
+                                   warm if cfg.warm_start else None,
+                                   has_warm)
         else:
             prog = build_sc_subproblem(model, params, td, dd, weights, ref,
                                        fft, cfg.l1_split)
@@ -213,15 +217,47 @@ def solve_sc(model, params, cfg: SCConfig = SCConfig(),
         converged_next = converged | (conv_now & keep)
         done_next = done | conv_now
 
+        if cfg.backend == "staged" and cfg.warm_start:
+            warm_good = step_ok & jnp.all(
+                jnp.isfinite(jnp.stack([res.res_pri, res.res_dua])))
+            warm_next = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(warm_good & jnp.logical_not(done),
+                                       n, o), res, warm)
+            has_warm_next = has_warm | (warm_good & jnp.logical_not(done))
+        else:
+            warm_next, has_warm_next = warm, has_warm
+
         out = (td_next.X, td_next.U, td_next.t, norm1, sum_delta, dsig,
                defects,
                jnp.maximum(res.res_pri, res.res_dua))
-        return (td_next, w_tr_next, iters_next, converged_next, done_next), out
+        return (td_next, w_tr_next, iters_next, converged_next, done_next,
+                warm_next, has_warm_next), out
+
+    if cfg.backend == "staged" and cfg.warm_start:
+        dd0 = multiple_shooting(model, par, td0, substeps=cfg.substeps,
+                                method=cfg.integrator, variable_time=fft)
+        w0 = (jnp.asarray(cfg.weight_time, dtype),
+              jnp.asarray(cfg.weight_trust_region_time, dtype),
+              jnp.asarray(cfg.weight_trust_region_trajectory, dtype),
+              jnp.asarray(cfg.weight_virtual_control, dtype))
+        prog0 = build_sc_subproblem_staged(model, params, td0, dd0, w0,
+                                           ref, fft)
+        z = jnp.zeros
+        warm0 = StagedSolverResult(
+            x_stage=z((prog0.K, prog0.w), dtype), x_glob=z((prog0.g,), dtype),
+            obj=z((), dtype), res_pri=z((), dtype), res_dua=z((), dtype),
+            res_gap=z((), dtype),
+            y_stage=z((prog0.K, prog0.me), dtype),
+            y_glob=z((prog0.A_geq.shape[0],), dtype),
+            z_stage=z((prog0.K, prog0.h.shape[1]), dtype),
+            z_glob=z((prog0.h_g.shape[0],), dtype))
+    else:
+        warm0 = jnp.asarray(0.0, dtype)
 
     carry0 = (td0, jnp.asarray(cfg.weight_trust_region_trajectory, dtype),
               jnp.asarray(0, jnp.int32), jnp.asarray(False),
-              jnp.asarray(False))
-    (td, _, iters, converged, _), ys = jax.lax.scan(
+              jnp.asarray(False), warm0, jnp.asarray(False))
+    (td, _, iters, converged, _, _, _), ys = jax.lax.scan(
         step, carry0, None, length=cfg.max_iterations)
     all_X, all_U, all_t, norm1s, sum_deltas, dsigs, defect_patterns, resids = ys
 

@@ -46,7 +46,7 @@ from scpp_tpu.algos.staged_problems import build_scvx_subproblem_staged
 from scpp_tpu.configs.algorithms import SCvxConfig
 from scpp_tpu.ops.discretization import multiple_shooting
 from scpp_tpu.solver import Aff, ConeProblemBuilder, solve
-from scpp_tpu.solver.ipm_staged import solve_staged_ipm
+from scpp_tpu.solver.ipm_staged import StagedSolverResult, solve_staged_ipm
 from scpp_tpu.trajectory import DiscretizationData, TrajectoryData
 
 __all__ = ["SCvxResult", "solve_scvx", "build_scvx_subproblem"]
@@ -172,7 +172,7 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
 
     def step(i, carry):
         (td, trust, last_J, has_last, accepts, converged, done, max_res,
-         first_fail) = carry
+         first_fail, warm, has_warm) = carry
 
         dd = multiple_shooting(model, par, td, substeps=cfg.substeps,
                                method=cfg.integrator, variable_time=False)
@@ -188,7 +188,13 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
             prog = build_scvx_subproblem_staged(
                 model, params, td, dd, jnp.asarray(trust, dtype), w_nu, ref,
                 x_trust)
-            res = solve_staged_ipm(prog, cfg.solver)
+            # consecutive subproblems differ only in data — warm-start the
+            # IPM from the previous solve's primal/dual state (no ECOS
+            # analog: the reference cold-starts every solve,
+            # SCAlgorithm.cpp:78)
+            res = solve_staged_ipm(prog, cfg.solver,
+                                   warm if cfg.warm_start else None,
+                                   has_warm)
         else:
             prog = build_scvx_subproblem(model, params, td, dd,
                                          jnp.asarray(trust, dtype), w_nu, ref,
@@ -272,18 +278,54 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
             (first_fail < 0) & jnp.logical_not(done)
             & jnp.logical_not(step_ok), i, first_fail)
 
+        # carry the solver state as next step's warm start, gated on
+        # solve health: a non-finite iterate must not poison future inits
+        if cfg.backend == "staged" and cfg.warm_start:
+            warm_good = finite_ok & jnp.all(
+                jnp.isfinite(jnp.stack([res.res_pri, res.res_dua])))
+            warm_next = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(warm_good & jnp.logical_not(done),
+                                       n, o), res, warm)
+            has_warm_next = has_warm | (warm_good & jnp.logical_not(done))
+        else:
+            warm_next, has_warm_next = warm, has_warm
+
         out = (td_next.X, td_next.U,
                jnp.logical_and(accept, jnp.logical_not(done)),
                J_new, L, res.res_pri, res.res_dua)
         return (td_next, trust_next, last_J_next, jnp.asarray(True),
                 accepts_next, converged_next, done_next, max_res_next,
-                first_fail_next), out
+                first_fail_next, warm_next, has_warm_next), out
+
+    if cfg.backend == "staged" and cfg.warm_start:
+        # a zero StagedSolverResult with the subproblem's (static) shapes
+        # as the initial warm carry; has_warm=False makes step 0 cold.
+        # Building the step-0 program here costs nothing extra: XLA CSEs
+        # it with the identical build inside the first loop iteration.
+        dd0 = multiple_shooting(model, par, td0, substeps=cfg.substeps,
+                                method=cfg.integrator, variable_time=False)
+        prog0 = build_scvx_subproblem_staged(
+            model, params, td0, dd0, jnp.asarray(cfg.trust_region, dtype),
+            w_nu, ref,
+            (jnp.asarray(cfg.state_trust_region, dtype)
+             if cfg.state_trust_region else None))
+        z = jnp.zeros
+        warm0 = StagedSolverResult(
+            x_stage=z((prog0.K, prog0.w), dtype), x_glob=z((prog0.g,), dtype),
+            obj=z((), dtype), res_pri=z((), dtype), res_dua=z((), dtype),
+            res_gap=z((), dtype),
+            y_stage=z((prog0.K, prog0.me), dtype),
+            y_glob=z((prog0.A_geq.shape[0],), dtype),
+            z_stage=z((prog0.K, prog0.h.shape[1]), dtype),
+            z_glob=z((prog0.h_g.shape[0],), dtype))
+    else:
+        warm0 = jnp.asarray(0.0, dtype)
 
     carry0 = (td0, jnp.asarray(cfg.trust_region, dtype),
               jnp.asarray(0.0, dtype), jnp.asarray(False),
               jnp.asarray(0, jnp.int32),
               jnp.asarray(False), jnp.asarray(False), jnp.asarray(0.0, dtype),
-              jnp.asarray(-1, jnp.int32))
+              jnp.asarray(-1, jnp.int32), warm0, jnp.asarray(False))
 
     # early-exit while_loop instead of a fixed-trip scan over the budget:
     # converged solves stop iterating (under vmap the batching rule keeps
@@ -311,9 +353,9 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
         hist = tuple(h.at[i].set(o) for h, o in zip(hist, out))
         return (i + 1, carry, hist)
 
-    n_steps, (td, trust, _, _, accepts, converged, _, max_res, first_fail), \
-        ys = jax.lax.while_loop(w_cond, w_body,
-                                (jnp.asarray(0, jnp.int32), carry0, hist0))
+    n_steps, (td, trust, _, _, accepts, converged, _, max_res, first_fail,
+              _, _), ys = jax.lax.while_loop(
+        w_cond, w_body, (jnp.asarray(0, jnp.int32), carry0, hist0))
 
     # back-fill trailing history slots (steps never executed after early
     # exit) with the last executed step's values, so e.g. J[-1] is the

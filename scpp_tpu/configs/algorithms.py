@@ -39,11 +39,15 @@ class SCvxConfig:
     # Optional per-node state trust region ||x - x0|| <= r_x, scaled by the
     # same accept/reject ladder as the input radius. 0 disables it — exact
     # parity with the reference, which trust-regions only the input
-    # (SCvxProblem.cpp:58-68). On strongly nonlinear models (RocketQuat)
-    # the input-only trust region lets the subproblem move X far from the
-    # linearization point where A,B,z are meaningless (||nu||_1 -> 0 while
-    # the resimulated defect stays O(1)); bounding X restores the
-    # convergence behavior of the original SCvx formulation (Mao et al.).
+    # (SCvxProblem.cpp:58-68). The default IS the reference formulation:
+    # with a near-optimal subproblem solver it converges on all models
+    # including flagship RocketQuat K=30 (quantified in PARITY.md — the
+    # round-2 belief that a state bound was required traced to the IPM's
+    # broken relative-gap test accepting feasible-but-suboptimal iterates,
+    # whose inflated ||nu||_1 corrupted the ratio test). A nonzero bound
+    # remains useful as an accelerator: it shortens the flagship solve
+    # from ~24 to ~17 subproblem solves by keeping X near the
+    # linearization point where A,B,z are accurate.
     state_trust_region: float = 0.0
     nondimensionalize: bool = False
     interpolate_input: bool = True
@@ -55,6 +59,11 @@ class SCvxConfig:
     # (O(K w^3), the TPU speed path); "dense": flat emission + dense-KKT
     # IPM (oracle path; required for l1_split=False)
     backend: str = "staged"
+    # carry the IPM primal/dual state across subproblem solves (staged
+    # backend only): consecutive SCvx iterations solve nearly identical
+    # SOCPs, so the previous optimum is a strong initial point. No
+    # reference analog (ECOS cold-starts every solve, SCAlgorithm.cpp:78).
+    warm_start: bool = True
     solver: object = IPMSettings(iters=30)
 
     @staticmethod
@@ -98,6 +107,7 @@ class SCConfig:
     integrator: str = "dopri5"
     l1_split: bool = True   # nu = nu+ - nu- encoding (see build_sc_subproblem)
     backend: str = "staged"  # see SCvxConfig.backend
+    warm_start: bool = True  # see SCvxConfig.warm_start
     solver: object = IPMSettings(iters=30)
 
     @staticmethod

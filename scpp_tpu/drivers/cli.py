@@ -40,7 +40,35 @@ def common_parser(algo: str) -> argparse.ArgumentParser:
                     help="directory with reference-format .info files")
     ap.add_argument("--platform", default=None,
                     help="jax platform override (e.g. cpu, tpu)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the solve into "
+                         "DIR (view with TensorBoard / Perfetto)")
+    ap.add_argument("--phase-timings", action="store_true",
+                    help="print a per-phase device-time breakdown "
+                         "(discretization / solve / defects — the "
+                         "reference's per-iteration taxonomy, "
+                         "SCAlgorithm.cpp:69-92)")
     return ap
+
+
+class _maybe_profile:
+    """jax.profiler.trace(dir) context when --profile was given."""
+
+    def __init__(self, args):
+        self.dir = getattr(args, "profile", None)
+
+    def __enter__(self):
+        if self.dir:
+            import jax
+            jax.profiler.start_trace(self.dir)
+        return self
+
+    def __exit__(self, *exc):
+        if self.dir:
+            import jax
+            jax.profiler.stop_trace()
+            print(f"Wrote profiler trace to {self.dir}")
+        return False
 
 
 def _ensure_backend(platform=None):
@@ -89,9 +117,13 @@ def run_sc_oneshot(argv=None):
     model, params, cfg = _setup(args, "SC", SCConfig)
 
     timer = tic()
-    res = solve_sc(model, params, cfg)
-    res.td.X.block_until_ready()
+    with _maybe_profile(args):
+        res = solve_sc(model, params, cfg)
+        res.td.X.block_until_ready()
     print(f"{'Time, total:':<50}{toc(timer):.2f}ms")
+    if args.phase_timings:
+        from scpp_tpu.utils.phases import phase_breakdown
+        phase_breakdown(model, params, cfg, "sc")
     print(("Converged after" if res.converged else "No convergence after")
           + f" {int(res.iterations)} iterations.")
 

@@ -63,6 +63,9 @@ class IPMSettings:
     # factorization (O(K) scan; reference/oracle path). Ignored by the
     # dense backend.
     kkt: str = struct.field(pytree_node=False, default="cr")
+    # interiority margin (scaled units) applied to a warm-start point's
+    # slacks/duals; the cold init uses a unit margin instead
+    warm_kappa: float = struct.field(pytree_node=False, default=0.1)
 
 
 class _ConeOps:

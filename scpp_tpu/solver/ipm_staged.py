@@ -51,6 +51,14 @@ class StagedSolverResult:
     res_pri: jnp.ndarray
     res_dua: jnp.ndarray
     res_gap: jnp.ndarray
+    # dual state (original units) for cross-solve warm starting: the
+    # consecutive SCvx subproblems differ only in (A,b,h) data, so the
+    # previous optimum is an excellent initial point (see ``warm`` in
+    # :func:`solve_staged_ipm`)
+    y_stage: jnp.ndarray = None   # (K, me)
+    y_glob: jnp.ndarray = None    # (meg,)
+    z_stage: jnp.ndarray = None   # (K, mc)
+    z_glob: jnp.ndarray = None    # (mcg,)
 
     @property
     def x(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -347,14 +355,26 @@ def _soc_offs(l, soc_sizes):
 
 @partial(jax.jit, static_argnums=(1,))
 def solve_staged_ipm(prog: StagedProgram,
-                     settings: IPMSettings = IPMSettings()
-                     ) -> StagedSolverResult:
+                     settings: IPMSettings = IPMSettings(),
+                     warm: StagedSolverResult = None,
+                     warm_ok=False) -> StagedSolverResult:
+    """Solve a staged conic program.
+
+    ``warm``: a previous :class:`StagedSolverResult` on a same-structured
+    program (e.g. the preceding SCvx subproblem — only the numeric data
+    differs). Its primal is used as the initial x (slacks re-derived as
+    h - Gx against the NEW data), its duals as the initial (y, z), each
+    shifted into the cone interior by ``settings.warm_kappa`` instead of
+    the cold init's unit margin. ``warm_ok`` (traced bool) selects warm
+    vs cold per call so a vmapped batch can mix both (first SCvx step,
+    or a failed previous solve)."""
     with jax.default_matmul_precision("highest"):
-        return _solve_impl(prog, settings)
+        return _solve_impl(prog, settings, warm, warm_ok)
 
 
-def _solve_impl(prog: StagedProgram, settings: IPMSettings
-                ) -> StagedSolverResult:
+def _solve_impl(prog: StagedProgram, settings: IPMSettings,
+                warm: StagedSolverResult = None,
+                warm_ok=False) -> StagedSolverResult:
     K, w, g = prog.K, prog.w, prog.g
     me = prog.me
     meg = prog.A_geq.shape[0]
@@ -584,10 +604,22 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
     (x0, x0g), _, _ = kkt_solve(fact0, rep0, rep0_g,
                                 zero_x, (b_eq, b_geq),
                                 (-h, -h_g), refine_steps=0)
+    if warm is not None:
+        # warm primal, scaled into this problem's equilibrated space
+        # (x_orig = E x^ b_scale); slacks re-derived below as h - G x
+        # against the NEW data so they are automatically consistent
+        kappa = jnp.asarray(settings.warm_kappa, dtype)
+        x0 = jnp.where(warm_ok, warm.x_stage / (E_st * b_scale), x0)
+        if g:
+            x0g = jnp.where(warm_ok, warm.x_glob / (E_g * b_scale), x0g)
     s_cand = (h - G_mv(x0, x0g)[0], h_g - G_mv(x0, x0g)[1])
     t_p = jnp.maximum(cones.min_shift(s_cand[0]),
                       cones_g.min_shift(s_cand[1][None]))
     shift_p = jnp.where(t_p < -1e-8, 0.0, t_p + 1.0)
+    if warm is not None:
+        # warm margin: shift only as far as interiority + kappa requires
+        # (the cold unit margin would erase the warmth, mu_0 ~ 1)
+        shift_p = jnp.where(warm_ok, jnp.maximum(t_p + kappa, 0.0), shift_p)
     s0 = (s_cand[0] + shift_p * e_st, s_cand[1] + shift_p * e_g)
 
     _, (y0, y0g), (z0c, z0cg) = kkt_solve(
@@ -595,9 +627,19 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
         (jnp.zeros((K, me), dtype), jnp.zeros((meg,), dtype)),
         (jnp.zeros((K, mc), dtype), jnp.zeros((mcg,), dtype)),
         refine_steps=0)
+    if warm is not None:
+        # warm duals (y_orig = D y^ c_scale, z_orig = D z^ c_scale)
+        y0 = jnp.where(warm_ok, warm.y_stage / (d_eq * c_scale), y0)
+        if meg:
+            y0g = jnp.where(warm_ok, warm.y_glob / (d_geq * c_scale), y0g)
+        z0c = jnp.where(warm_ok, warm.z_stage / (d_c * c_scale), z0c)
+        if mcg:
+            z0cg = jnp.where(warm_ok, warm.z_glob / (d_cg * c_scale), z0cg)
     t_d = jnp.maximum(cones.min_shift(z0c),
                       cones_g.min_shift(z0cg[None]))
     shift_d = jnp.where(t_d < -1e-8, 0.0, t_d + 1.0)
+    if warm is not None:
+        shift_d = jnp.where(warm_ok, jnp.maximum(t_d + kappa, 0.0), shift_d)
     z0 = (z0c + shift_d * e_st, z0cg + shift_d * e_g)
 
     import os as _os
@@ -849,4 +891,5 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings
 
     return StagedSolverResult(
         x_stage=x_st, x_glob=x_g, obj=obj,
-        res_pri=res_pri, res_dua=res_dua, res_gap=res_gap)
+        res_pri=res_pri, res_dua=res_dua, res_gap=res_gap,
+        y_stage=y_st, y_glob=y_g, z_stage=z_st, z_glob=z_g)

@@ -26,7 +26,6 @@ def _flagship_cfg(**over):
     base = dict(
         K=30, max_iterations=30, solve_budget=45, change_threshold=1e-3,
         nondimensionalize=True, substeps=6, sim_substeps=8,
-        state_trust_region=5.0,
         solver=IPMSettings(iters=25, eps_reg=1e-4, eps_feas=1e-4,
                            refine_steps=2))
     base.update(over)

@@ -51,12 +51,13 @@ def golden_configs():
         # stock RocketQuat SC.info (K=15); staged backend (see module doc)
         "rocketquat_sc": (RocketQuat, "sc", SCConfig(
             K=15, weight_trust_region_trajectory=50.0, solver=TIGHT)),
-        # flagship RocketQuat SCvx.info (K=30) + the documented
-        # state-trust-region deviation (PARITY.md)
+        # flagship RocketQuat SCvx.info (K=30), reference-exact
+        # formulation: input-only trust region (SCvxProblem.cpp:58-68;
+        # state_trust_region defaults to 0 — see PARITY.md)
         "rocketquat_scvx": (RocketQuat, "scvx", SCvxConfig(
             K=30, max_iterations=30, solve_budget=45, change_threshold=1e-3,
             nondimensionalize=True, substeps=6, sim_substeps=8,
-            state_trust_region=5.0, solver=TIGHT)),
+            solver=TIGHT)),
     }
 
 
