@@ -172,7 +172,34 @@ def bench_mpc_latency():
     p50, p99 = results[best]
     print(f"# mpc_resolve best backend: {best} (target p50 <= 10 ms)",
           file=sys.stderr)
-    return p50, p99
+
+    # deployment-shape metric: the whole closed loop as one on-device
+    # jitted scan (drivers/closed_loop.mpc_sim — solve + simulate per
+    # step, sequential). The per-call numbers above include the
+    # host<->device dispatch round trip, which on a remote-attached chip
+    # is ~25 ms of pure tunnel latency (measured: a trivial jitted op
+    # takes the same); the reference's loop runs controller and plant in
+    # one process (MPC_sim.cpp:45-90), and so does this scan.
+    device_ms = None
+    try:
+        from scpp_tpu.drivers.closed_loop import mpc_sim
+        n_steps = 200
+        hist = mpc_sim(Rocket2D, p, cfg, 2.0, 0.01)
+        jax.block_until_ready(hist.X)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            hist = mpc_sim(Rocket2D, p, cfg, 2.0, 0.01)
+            jax.block_until_ready(hist.X)
+            ts.append(time.perf_counter() - t0)
+        device_ms = min(ts) * 1e3 / n_steps
+        print(f"# mpc on-device loop: {device_ms:.3f} ms/step over "
+              f"{n_steps} steps (solve+simulate, target <= 10 ms)",
+              file=sys.stderr)
+    except Exception:
+        import traceback
+        traceback.print_exc()
+    return p50, p99, device_ms
 
 
 def _flagship_config(budget):
@@ -299,9 +326,15 @@ def main():
     mpc = guarded("mpc_latency", bench_mpc_latency)
     if mpc is not None:
         # second north-star metric (BASELINE.json): warm MPC re-solve
-        # latency, target p50 <= 10 ms
+        # latency, target p50 <= 10 ms. The _p50 number includes the
+        # host<->device tunnel round trip (~25 ms on a remote-attached
+        # chip); _device_step_ms is the on-device closed-loop rate
+        # (solve + simulate per step in one jitted scan), the
+        # deployment-shape analog of MPC_sim.cpp's loop.
         headline["mpc_resolve_p50_ms"] = round(mpc[0], 2)
         headline["mpc_resolve_p99_ms"] = round(mpc[1], 2)
+        if mpc[2] is not None:
+            headline["mpc_device_step_ms"] = round(mpc[2], 3)
 
     print(json.dumps(headline))
 

@@ -66,6 +66,20 @@ class IPMSettings:
     # interiority margin (scaled units) applied to a warm-start point's
     # slacks/duals; the cold init uses a unit margin instead
     warm_kappa: float = struct.field(pytree_node=False, default=0.1)
+    # TPU matmul precision for the staged backend's linear algebra:
+    # "highest" = 6-pass bf16 (full fp32 emulation), "high" = 3-pass bf16,
+    # "default" = 1-pass bf16. ``matmul_precision`` governs everything
+    # outside the KKT factor/solve kernels (residuals, refinement matvecs,
+    # cone algebra); ``kkt_precision`` governs the factorization and the
+    # raw triangular solves only. Measured on v5e at flagship shapes, the
+    # solver is *pass-count bound* (hundreds of small matmuls per
+    # iteration): all-highest 244 ms vs all-bf16 60 ms per subproblem.
+    # Mixed precision — bf16 factor/solve + fp32-accurate residuals and
+    # iterative refinement against the exact operator — recovers the
+    # accuracy (same scheme as classical mixed-precision IR: LU in low
+    # precision, residual in high). Irrelevant on CPU/f64 (always full).
+    matmul_precision: str = struct.field(pytree_node=False, default="highest")
+    kkt_precision: str = struct.field(pytree_node=False, default="highest")
 
 
 class _ConeOps:

@@ -40,7 +40,9 @@ from scpp_tpu.solver.staged_kkt import (
 
 __all__ = ["solve_staged_ipm", "StagedSolverResult"]
 
-_P = jax.lax.Precision.HIGHEST
+# matmul precision is governed by the ambient default_matmul_precision
+# context set in solve_staged_ipm from IPMSettings.matmul_precision
+_P = None
 
 
 @struct.dataclass
@@ -368,7 +370,7 @@ def solve_staged_ipm(prog: StagedProgram,
     the cold init's unit margin. ``warm_ok`` (traced bool) selects warm
     vs cold per call so a vmapped batch can mix both (first SCvx step,
     or a failed previous solve)."""
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(settings.matmul_precision):
         return _solve_impl(prog, settings, warm, warm_ok)
 
 
@@ -480,6 +482,16 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
     # ---- KKT factor / solve ----
 
     def kkt_factor(rep, rep_g):
+        # the factorization is a *preconditioner*: refinement in kkt_solve
+        # corrects against the exact operator at full precision, so the
+        # Gram assembly and the cyclic-reduction Schur algebra — the
+        # solver's dominant matmul passes — may run at kkt_precision
+        # (bf16 on the fast path). Only the Cholesky pivots need full
+        # precision; signed_cholesky pins that internally.
+        with jax.default_matmul_precision(settings.kkt_precision):
+            return _kkt_factor_impl(rep, rep_g)
+
+    def _kkt_factor_impl(rep, rep_g):
         # H = G' W^-2 G + rho A'A: the rho-lift keeps the primal pivots
         # positive-definite along directions whose cone rows go inactive
         # (W^-2 -> 0 there as mu -> 0), exactly as in the dense backend
@@ -538,8 +550,21 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
         fact = arrow_factor(D, O, Bg, Cg, w, g)
         return ("arrow",) + fact
 
-    def kkt_raw_solve(fact, r_x, r_y):
-        """One regularized-KKT solve; r_x = ((K,w),(g,)), r_y likewise."""
+    def kkt_raw_solve(fact, r_x, r_y, precision=None):
+        """One regularized-KKT solve; r_x = ((K,w),(g,)), r_y likewise.
+
+        The back-substitution sweeps run at ``kkt_precision`` (bf16 on the
+        fast path): with the factorization itself at full precision, sweep
+        roundoff is a small *linear* error that the refinement sweeps in
+        kkt_solve contract against the exact operator — classical
+        mixed-precision iterative refinement, ~2.5x on the whole solver at
+        flagship shapes. Callers that skip refinement (the inits) pass an
+        explicit full ``precision``."""
+        with jax.default_matmul_precision(precision
+                                          or settings.kkt_precision):
+            return _kkt_raw_solve_impl(fact, r_x, r_y)
+
+    def _kkt_raw_solve_impl(fact, r_x, r_y):
         rx_st, rx_g = r_x
         ry_st, ry_g = r_y
         b_stage = jnp.concatenate([rx_st, ry_st], axis=1)       # (K, Wp)
@@ -559,10 +584,12 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
             sol_st, sol_g = arrow_solve(fact[1:], b_stage, b_glob)
         return (sol_st[:, :w], sol_g[:g]), (sol_st[:, w:], sol_g[g:])
 
-    def kkt_solve(fact, rep, rep_g, f1, f2, rzWd, refine_steps=None):
+    def kkt_solve(fact, rep, rep_g, f1, f2, rzWd, refine_steps=None,
+                  raw_precision=None):
         """Solve  H dx + A' dy = f1 - G' W^-2 (rz + W d),  A dx = f2,
         recover dz = W^-2 (G dx) + u3; refined against the exact
-        (unregularized) operator."""
+        (unregularized) operator. ``raw_precision`` overrides the
+        back-substitution precision (used by the unrefined init solves)."""
         if refine_steps is None:
             refine_steps = settings.refine_steps
         u3_st = cones.apply_Winv2(rep, rzWd[0])
@@ -571,7 +598,7 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
         lf_st, lf_g = A_rmv(rho * f2[0], rho * f2[1])
         r1 = (f1[0] - gt_st + lf_st, f1[1] - gt_g + lf_g)
 
-        dx, dy = kkt_raw_solve(fact, r1, f2)
+        dx, dy = kkt_raw_solve(fact, r1, f2, raw_precision)
         for _ in range(refine_steps):
             # exact residuals of the lifted system:
             # H_lift dx = G' W^-2 G dx + rho A'A dx
@@ -585,7 +612,7 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
             res1 = (r1[0] - hx_st - lx_st - at_st,
                     r1[1] - hx_g - lx_g - at_g)
             res2 = (f2[0] - ax_st, f2[1] - ax_g)
-            cx, cy = kkt_raw_solve(fact, res1, res2)
+            cx, cy = kkt_raw_solve(fact, res1, res2, raw_precision)
             dx = (dx[0] + cx[0], dx[1] + cx[1])
             dy = (dy[0] + cy[0], dy[1] + cy[1])
 
@@ -603,7 +630,8 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
     zero_x = (jnp.zeros((K, w), dtype), jnp.zeros((g,), dtype))
     (x0, x0g), _, _ = kkt_solve(fact0, rep0, rep0_g,
                                 zero_x, (b_eq, b_geq),
-                                (-h, -h_g), refine_steps=0)
+                                (-h, -h_g), refine_steps=0,
+                                raw_precision=settings.matmul_precision)
     if warm is not None:
         # warm primal, scaled into this problem's equilibrated space
         # (x_orig = E x^ b_scale); slacks re-derived below as h - G x
@@ -626,7 +654,7 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
         fact0, rep0, rep0_g, (-c_st, -c_g),
         (jnp.zeros((K, me), dtype), jnp.zeros((meg,), dtype)),
         (jnp.zeros((K, mc), dtype), jnp.zeros((mcg,), dtype)),
-        refine_steps=0)
+        refine_steps=0, raw_precision=settings.matmul_precision)
     if warm is not None:
         # warm duals (y_orig = D y^ c_scale, z_orig = D z^ c_scale)
         y0 = jnp.where(warm_ok, warm.y_stage / (d_eq * c_scale), y0)
@@ -720,11 +748,15 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
                                                     lam_g[None])[0])
         lam_inv = (cones.inv(lam), cones_g.inv(lam_g[None])[0])
 
-        # predictor
+        # predictor — refined one sweep fewer than the corrector: its only
+        # products are sigma (a scalar heuristic) and the second-order
+        # Mehrotra term, neither of which needs the last digit, and each
+        # refinement sweep is a full KKT solve + operator matvec chain
         dxa, dya, dza = kkt_solve(
             fact, rep, rep_g,
             (-rx[0], -rx[1]), (-ry[0], -ry[1]),
-            (rz[0] - s_st, rz[1] - s_g))
+            (rz[0] - s_st, rz[1] - s_g),
+            refine_steps=max(settings.refine_steps - 1, 0))
         dsa = (-(G_mv(*dxa)[0]) - rz[0], -(G_mv(*dxa)[1]) - rz[1])
         a_s = jnp.minimum(cones.max_step(s_st, dsa[0]),
                           cones_g.max_step(s_g[None], dsa[1][None]))

@@ -44,7 +44,10 @@ __all__ = [
     "cr_factor", "cr_solve", "cr_arrow_factor", "cr_arrow_solve",
 ]
 
-_P = jax.lax.Precision.HIGHEST
+# matmul precision is governed by the caller's ambient
+# jax.default_matmul_precision context (solve_staged_ipm sets it from
+# IPMSettings.matmul_precision); None defers to that context
+_P = None
 
 
 def _sig(w: int, p: int, dtype):
@@ -57,7 +60,18 @@ def signed_cholesky(M, p: int):
     M = [[P, B'], [B, -N]] with P (p x p) SPD and N SPD (guaranteed by the
     +eps/-delta regularization).  L = [[L_P, 0], [Bt, L_N]] with
     P = L_P L_P', Bt = B L_P^{-T}, N + Bt Bt' = L_N L_N'.
+
+    Always runs at full matmul precision regardless of the ambient
+    context: under the mixed-precision KKT path the surrounding Schur
+    algebra may run in bf16, but bf16 cancellation inside the Cholesky
+    itself drives pivots below the +eps/-delta regularization floor and
+    the factor NaNs out (measured on v5e).
     """
+    with jax.default_matmul_precision("highest"):
+        return _signed_cholesky_impl(M, p)
+
+
+def _signed_cholesky_impl(M, p: int):
     w = M.shape[-1]
     if p == w:
         return jnp.linalg.cholesky(M)
