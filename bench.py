@@ -184,12 +184,15 @@ def bench_mpc_latency():
     try:
         from scpp_tpu.drivers.closed_loop import mpc_sim
         n_steps = 200
-        hist = mpc_sim(Rocket2D, p, cfg, 2.0, 0.01)
+        # drive the loop with the backend selected above so the per-call
+        # and per-step metrics describe the same solver (advisor r03)
+        cfg_best = cfg if best == "ipm" else cfg_s
+        hist = mpc_sim(Rocket2D, p, cfg_best, 2.0, 0.01)
         jax.block_until_ready(hist.X)
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            hist = mpc_sim(Rocket2D, p, cfg, 2.0, 0.01)
+            hist = mpc_sim(Rocket2D, p, cfg_best, 2.0, 0.01)
             jax.block_until_ready(hist.X)
             ts.append(time.perf_counter() - t0)
         device_ms = min(ts) * 1e3 / n_steps

@@ -70,7 +70,17 @@ class StagedSolverResult:
 class _BatchCones:
     """Jordan-algebra ops on slacks shaped (B, mc) with static layout
     [nonneg (l) | SOC q_1 | SOC q_2 | ...] shared across the batch axis
-    (B = K stages, or B = 1 for the global rows)."""
+    (B = K stages, or B = 1 for the global rows).
+
+    All SOC groups are processed in one *padded* tensor (B, S, qmax) —
+    rows are the S cones, columns padded with zeros up to the largest cone
+    width. Per-cone Python loops (the r03 layout) emitted dozens of tiny
+    slice/set kernels per call at ~10 calls per IPM iteration, which was
+    the dominant kernel-launch cost of the whole solver at trajectory
+    sizes; the padded form is a constant number of fused element-wise ops
+    plus one gather/scatter pair regardless of the cone count. Padding is
+    exact, not approximate: every reduction only ever *adds zeros*, so
+    results match the loop form to roundoff."""
 
     def __init__(self, B: int, l: int, soc_sizes: Tuple[int, ...]):
         self.B = B
@@ -84,6 +94,19 @@ class _BatchCones:
             off += q
         self.soc_offs = tuple(offs)
         self.deg = B * (l + len(soc_sizes))
+        self.S = len(soc_sizes)
+        self.qmax = max(soc_sizes) if soc_sizes else 0
+        # gather map (S, qmax) into the padded cone vector [0, mc]; slot mc
+        # is an all-zero pad column appended by _gather
+        idx = np.full((self.S, self.qmax), self.mc, np.int32)
+        for i, (o, q) in enumerate(zip(self.soc_offs, self.soc_sizes)):
+            idx[i, :q] = o + np.arange(q)
+        self.soc_idx = idx
+        # J = diag(1, -1, ..., -1) as a padded row vector (reflection)
+        self._Jrow = None
+        if self.S:
+            self._Jrow = np.concatenate(
+                [[1.0], -np.ones(self.qmax - 1)]).astype(np.float64)
 
     def e(self, dtype):
         v = np.zeros((self.B, self.mc))
@@ -92,40 +115,55 @@ class _BatchCones:
             v[:, o] = 1.0
         return jnp.asarray(v, dtype)
 
-    def _soc(self, u, o, q):
-        return u[:, o:o + q]
+    def _gather(self, u):
+        """(B, mc) -> (B, S, qmax) padded SOC blocks (pad slots read 0)."""
+        u_pad = jnp.concatenate(
+            [u, jnp.zeros((u.shape[0], 1), u.dtype)], axis=1)
+        return u_pad[:, self.soc_idx]
+
+    def _scatter(self, out, vals):
+        """Write padded SOC block values ``vals`` (B, S, qmax) into the
+        cone-vector positions of ``out`` (B, mc); pad slots land in a
+        sacrificial extra column and are sliced off."""
+        out = jnp.concatenate(
+            [out, jnp.zeros((out.shape[0], 1), out.dtype)], axis=1)
+        out = out.at[:, self.soc_idx].set(vals)
+        return out[:, :self.mc]
 
     def mul(self, u, v):
+        if self.mc == 0:
+            return jnp.zeros_like(u)
         out = jnp.zeros_like(u)
         if self.l:
             out = out.at[:, :self.l].set(u[:, :self.l] * v[:, :self.l])
-        for o, q in zip(self.soc_offs, self.soc_sizes):
-            ub, vb = u[:, o:o + q], v[:, o:o + q]
-            head = jnp.sum(ub * vb, axis=1)
-            tail = ub[:, :1] * vb[:, 1:] + vb[:, :1] * ub[:, 1:]
-            out = out.at[:, o:o + q].set(
-                jnp.concatenate([head[:, None], tail], axis=1))
+        if self.S:
+            ub, vb = self._gather(u), self._gather(v)
+            head = jnp.sum(ub * vb, axis=2, keepdims=True)
+            tail = ub[:, :, :1] * vb[:, :, 1:] + vb[:, :, :1] * ub[:, :, 1:]
+            out = self._scatter(out, jnp.concatenate([head, tail], axis=2))
         return out
 
     def inv(self, u):
+        if self.mc == 0:
+            return jnp.zeros_like(u)
         out = jnp.zeros_like(u)
         if self.l:
             out = out.at[:, :self.l].set(1.0 / u[:, :self.l])
-        for o, q in zip(self.soc_offs, self.soc_sizes):
-            ub = u[:, o:o + q]
-            det = ub[:, 0] ** 2 - jnp.sum(ub[:, 1:] ** 2, axis=1)
-            Ju = jnp.concatenate([ub[:, :1], -ub[:, 1:]], axis=1)
-            out = out.at[:, o:o + q].set(Ju / det[:, None])
+        if self.S:
+            ub = self._gather(u)
+            det = ub[:, :, 0] ** 2 - jnp.sum(ub[:, :, 1:] ** 2, axis=2)
+            Ju = jnp.concatenate([ub[:, :, :1], -ub[:, :, 1:]], axis=2)
+            out = self._scatter(out, Ju / det[:, :, None])
         return out
 
     def min_shift(self, u):
         parts = [jnp.asarray(-jnp.inf, u.dtype)]
         if self.l:
             parts.append(jnp.max(-u[:, :self.l]))
-        for o, q in zip(self.soc_offs, self.soc_sizes):
-            ub = u[:, o:o + q]
+        if self.S:
+            ub = self._gather(u)
             parts.append(jnp.max(
-                jnp.sqrt(jnp.sum(ub[:, 1:] ** 2, 1)) - ub[:, 0]))
+                jnp.sqrt(jnp.sum(ub[:, :, 1:] ** 2, axis=2)) - ub[:, :, 0]))
         return jnp.max(jnp.stack(parts))
 
     def max_step(self, u, du):
@@ -135,11 +173,12 @@ class _BatchCones:
             un, dn = u[:, :self.l], du[:, :self.l]
             a = jnp.where(dn < 0, -un / jnp.where(dn < 0, dn, -1.0), big)
             alphas.append(jnp.min(a))
-        for o, q in zip(self.soc_offs, self.soc_sizes):
-            ub, db = u[:, o:o + q], du[:, o:o + q]
-            a2 = db[:, 0] ** 2 - jnp.sum(db[:, 1:] ** 2, axis=1)
-            b2 = ub[:, 0] * db[:, 0] - jnp.sum(ub[:, 1:] * db[:, 1:], axis=1)
-            c2 = ub[:, 0] ** 2 - jnp.sum(ub[:, 1:] ** 2, axis=1)
+        if self.S:
+            ub, db = self._gather(u), self._gather(du)
+            a2 = db[:, :, 0] ** 2 - jnp.sum(db[:, :, 1:] ** 2, axis=2)
+            b2 = (ub[:, :, 0] * db[:, :, 0]
+                  - jnp.sum(ub[:, :, 1:] * db[:, :, 1:], axis=2))
+            c2 = ub[:, :, 0] ** 2 - jnp.sum(ub[:, :, 1:] ** 2, axis=2)
             disc = b2 ** 2 - a2 * c2
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
             root_neg_a = (b2 + sq) / jnp.maximum(-a2, 1e-30)
@@ -151,73 +190,72 @@ class _BatchCones:
             a_soc = jnp.where(a2 < -1e-30, root_neg_a,
                               jnp.where(a2 > 1e-30, root_pos_a, lin))
             head_cap = jnp.where(
-                db[:, 0] < 0,
-                -ub[:, 0] / jnp.where(db[:, 0] < 0, db[:, 0], -1.0), big)
+                db[:, :, 0] < 0,
+                -ub[:, :, 0] / jnp.where(db[:, :, 0] < 0, db[:, :, 0], -1.0),
+                big)
             alphas.append(jnp.min(jnp.minimum(a_soc, head_cap)))
         return jnp.min(jnp.stack(alphas))
 
     def nt_scaling(self, s, z):
         """NT scaling point; returns (rep, lam) with ``rep`` holding DENSE
-        per-stage block-diagonal W / W^-1 / W^-2 matrices (B, mc, mc).
-
-        Group-wise application (a dozen small slice/set kernels per call,
-        ~10 calls per IPM iteration) was the dominant kernel-launch cost of
-        the whole solver at trajectory sizes; assembling the block-diagonal
-        once per iteration turns every apply into a single batched einsum
-        that rides the MXU."""
-        rep = {}
+        per-stage block-diagonal W / W^-1 / W^-2 matrices (B, mc, mc),
+        assembled once per iteration so every apply is a single batched
+        einsum that rides the MXU."""
+        dtype = s.dtype
         lam = jnp.zeros_like(s)
+        Wd = jnp.zeros((self.B, self.mc + 1, self.mc + 1), dtype)
+        Wi = jnp.zeros_like(Wd)
+        Wi2 = jnp.zeros_like(Wd)
         if self.l:
             sn, zn = s[:, :self.l], z[:, :self.l]
-            rep["diag"] = jnp.sqrt(sn / zn)
-            lam = lam.at[:, :self.l].set(jnp.sqrt(sn * zn))
-        rep["soc"] = []
-        for o, q in zip(self.soc_offs, self.soc_sizes):
-            sb_, zb_ = s[:, o:o + q], z[:, o:o + q]
-            J = np.diag([1.0] + [-1.0] * (q - 1))
-            det_s = jnp.maximum(
-                sb_[:, 0] ** 2 - jnp.sum(sb_[:, 1:] ** 2, 1), 1e-30)
-            det_z = jnp.maximum(
-                zb_[:, 0] ** 2 - jnp.sum(zb_[:, 1:] ** 2, 1), 1e-30)
-            sbar = sb_ / jnp.sqrt(det_s)[:, None]
-            zbar = zb_ / jnp.sqrt(det_z)[:, None]
-            gamma = jnp.sqrt(jnp.maximum(
-                (1.0 + jnp.sum(sbar * zbar, 1)) / 2.0, 1e-30))
-            wbar = (sbar + zbar @ J) / (2.0 * gamma[:, None])
-            eta = (det_s / det_z) ** 0.25
-            wv = eta[:, None] * wbar
-            detw = jnp.maximum(
-                wv[:, 0] ** 2 - jnp.sum(wv[:, 1:] ** 2, 1), 1e-30)
-            sqrt_detw = jnp.sqrt(detw)
-            e0 = np.zeros(q)
-            e0[0] = 1.0
-            u = (wv + sqrt_detw[:, None] * e0) / jnp.sqrt(
-                2.0 * (wv[:, 0] + sqrt_detw))[:, None]
-            detu = sqrt_detw
-            W = (2.0 * u[:, :, None] * u[:, None, :]
-                 - detu[:, None, None] * J)
-            uinv = (u @ J) / detu[:, None]
-            Winv = (2.0 * uinv[:, :, None] * uinv[:, None, :]
-                    - (1.0 / detu)[:, None, None] * J)
-            rep["soc"].append((W, Winv))
-            lam = lam.at[:, o:o + q].set(
-                jnp.einsum("bij,bj->bi", W, zb_, precision=_P))
-        return self._densify(rep, s.dtype), lam
-
-    def _densify(self, rep, dtype):
-        """Assemble block-diagonal dense W / W^-1 / W^-2 from group parts."""
-        Wd = jnp.zeros((self.B, self.mc, self.mc), dtype)
-        Wi = jnp.zeros_like(Wd)
-        if self.l:
+            dvec = jnp.sqrt(sn / zn)
             il = np.arange(self.l)
-            Wd = Wd.at[:, il, il].set(rep["diag"])
-            Wi = Wi.at[:, il, il].set(1.0 / rep["diag"])
-        for (Wb, Wib), o, q in zip(rep["soc"], self.soc_offs,
-                                   self.soc_sizes):
-            Wd = Wd.at[:, o:o + q, o:o + q].set(Wb)
-            Wi = Wi.at[:, o:o + q, o:o + q].set(Wib)
-        Wi2 = jnp.einsum("bij,bjk->bik", Wi, Wi, precision=_P)
-        return {"W": Wd, "Winv": Wi, "Winv2": Wi2}
+            Wd = Wd.at[:, il, il].set(dvec)
+            Wi = Wi.at[:, il, il].set(1.0 / dvec)
+            Wi2 = Wi2.at[:, il, il].set(1.0 / dvec ** 2)
+            lam = lam.at[:, :self.l].set(jnp.sqrt(sn * zn))
+        if self.S:
+            sb = self._gather(s)                              # (B, S, q)
+            zb = self._gather(z)
+            Jrow = jnp.asarray(self._Jrow, dtype)             # (q,)
+            Jmat = jnp.diag(Jrow)                             # (q, q)
+            det_s = jnp.maximum(
+                sb[:, :, 0] ** 2 - jnp.sum(sb[:, :, 1:] ** 2, 2), 1e-30)
+            det_z = jnp.maximum(
+                zb[:, :, 0] ** 2 - jnp.sum(zb[:, :, 1:] ** 2, 2), 1e-30)
+            sbar = sb / jnp.sqrt(det_s)[:, :, None]
+            zbar = zb / jnp.sqrt(det_z)[:, :, None]
+            gamma = jnp.sqrt(jnp.maximum(
+                (1.0 + jnp.sum(sbar * zbar, 2)) / 2.0, 1e-30))
+            wbar = (sbar + zbar * Jrow) / (2.0 * gamma[:, :, None])
+            eta = (det_s / det_z) ** 0.25
+            wv = eta[:, :, None] * wbar
+            detw = jnp.maximum(
+                wv[:, :, 0] ** 2 - jnp.sum(wv[:, :, 1:] ** 2, 2), 1e-30)
+            sqrt_detw = jnp.sqrt(detw)
+            e0 = jnp.zeros((self.qmax,), dtype).at[0].set(1.0)
+            u = (wv + sqrt_detw[:, :, None] * e0) / jnp.sqrt(
+                2.0 * (wv[:, :, 0] + sqrt_detw))[:, :, None]
+            detu = sqrt_detw
+            Wb = (2.0 * u[:, :, :, None] * u[:, :, None, :]
+                  - detu[:, :, None, None] * Jmat)
+            uinv = (u * Jrow) / detu[:, :, None]
+            Wib = (2.0 * uinv[:, :, :, None] * uinv[:, :, None, :]
+                   - (1.0 / detu)[:, :, None, None] * Jmat)
+            # W^-2 blockwise (the dense mc x mc product is redundant work:
+            # W is block-diagonal, so squaring the small blocks suffices)
+            Wi2b = jnp.einsum("bsij,bsjk->bsik", Wib, Wib, precision=_P)
+            lam_soc = jnp.einsum("bsij,bsj->bsi", Wb, zb, precision=_P)
+            lam = self._scatter(lam, lam_soc)
+            ridx = self.soc_idx[:, :, None]                   # (S, q, 1)
+            cidx = self.soc_idx[:, None, :]                   # (S, 1, q)
+            Wd = Wd.at[:, ridx, cidx].set(Wb)
+            Wi = Wi.at[:, ridx, cidx].set(Wib)
+            Wi2 = Wi2.at[:, ridx, cidx].set(Wi2b)
+        rep = {"W": Wd[:, :self.mc, :self.mc],
+               "Winv": Wi[:, :self.mc, :self.mc],
+               "Winv2": Wi2[:, :self.mc, :self.mc]}
+        return rep, lam
 
     def identity_rep(self, dtype):
         I = jnp.broadcast_to(jnp.eye(self.mc, dtype=dtype),
@@ -626,11 +664,15 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
     rep0_g = cones_g.identity_rep(dtype)
     fact0 = kkt_factor(rep0, rep0_g)
     # init solves need an interior point, not refined accuracy — skipping
-    # refinement here halves the unrolled (outside-the-scan) KKT HLO
+    # refinement here halves the unrolled (outside-the-scan) KKT HLO. On
+    # the mixed-precision path fact0 itself was factored under
+    # kkt_precision, so one refinement sweep keeps the starting point from
+    # inheriting bf16 factorization error (advisor r03).
+    init_refine = 0 if settings.kkt_precision == "highest" else 1
     zero_x = (jnp.zeros((K, w), dtype), jnp.zeros((g,), dtype))
     (x0, x0g), _, _ = kkt_solve(fact0, rep0, rep0_g,
                                 zero_x, (b_eq, b_geq),
-                                (-h, -h_g), refine_steps=0,
+                                (-h, -h_g), refine_steps=init_refine,
                                 raw_precision=settings.matmul_precision)
     if warm is not None:
         # warm primal, scaled into this problem's equilibrated space
@@ -654,7 +696,7 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
         fact0, rep0, rep0_g, (-c_st, -c_g),
         (jnp.zeros((K, me), dtype), jnp.zeros((meg,), dtype)),
         (jnp.zeros((K, mc), dtype), jnp.zeros((mcg,), dtype)),
-        refine_steps=0, raw_precision=settings.matmul_precision)
+        refine_steps=init_refine, raw_precision=settings.matmul_precision)
     if warm is not None:
         # warm duals (y_orig = D y^ c_scale, z_orig = D z^ c_scale)
         y0 = jnp.where(warm_ok, warm.y_stage / (d_eq * c_scale), y0)
@@ -748,15 +790,21 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
                                                     lam_g[None])[0])
         lam_inv = (cones.inv(lam), cones_g.inv(lam_g[None])[0])
 
-        # predictor — refined one sweep fewer than the corrector: its only
-        # products are sigma (a scalar heuristic) and the second-order
-        # Mehrotra term, neither of which needs the last digit, and each
-        # refinement sweep is a full KKT solve + operator matvec chain
+        # predictor — on the mixed-precision path, refined one sweep fewer
+        # than the corrector: its only products are sigma (a scalar
+        # heuristic) and the second-order Mehrotra term, neither of which
+        # needs the last digit, and each refinement sweep is a full KKT
+        # solve + operator matvec chain. The full-precision path keeps the
+        # configured sweep count (advisor r03: don't change the default
+        # path's numerics to pay for the bf16 path's budget).
+        pred_refine = (max(settings.refine_steps - 1, 0)
+                       if settings.kkt_precision != "highest"
+                       else settings.refine_steps)
         dxa, dya, dza = kkt_solve(
             fact, rep, rep_g,
             (-rx[0], -rx[1]), (-ry[0], -ry[1]),
             (rz[0] - s_st, rz[1] - s_g),
-            refine_steps=max(settings.refine_steps - 1, 0))
+            refine_steps=pred_refine)
         dsa = (-(G_mv(*dxa)[0]) - rz[0], -(G_mv(*dxa)[1]) - rz[1])
         a_s = jnp.minimum(cones.max_step(s_st, dsa[0]),
                           cones_g.max_step(s_g[None], dsa[1][None]))

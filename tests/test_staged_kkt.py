@@ -1,5 +1,6 @@
 """Quasidefinite block-tridiagonal / arrow factorization vs dense oracle."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -8,6 +9,15 @@ from scpp_tpu.solver.staged_kkt import (
     arrow_factor, arrow_solve, signed_block_tridiag_factor,
     signed_block_tridiag_solve, signed_cholesky,
 )
+
+
+@pytest.fixture(autouse=True)
+def _full_precision():
+    # the kernels defer matmul precision to the ambient context
+    # (solve_staged_ipm normally sets it); direct calls here must pin full
+    # precision to stay tolerance-robust if run on a TPU backend
+    with jax.default_matmul_precision("highest"):
+        yield
 
 
 def _quasidefinite_blocks(rng, K, p, q, g=0, p_glob=0):
