@@ -488,6 +488,29 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
         x_g = jnp.sum(xc[:, 2 * w:], axis=0)
         return x_st, x_g
 
+    # A_eq and G stacked once: the IPM's matvec chains almost always need
+    # both, and one (K, me+mc, C) einsum is half the kernel passes of two
+    M_st = jnp.concatenate([A_eq, G], axis=1)
+
+    def AG_mv(x_st, x_g):
+        """Returns (A x, G x) for the stage rows in ONE einsum + globals."""
+        xc = cat_x(x_st, x_g)
+        both = jnp.einsum("kmc,kc->km", M_st, xc, precision=_P)
+        y_g = A_geq @ x_g if meg else jnp.zeros((0,), dtype)
+        z_g = G_g @ x_g if mcg else jnp.zeros((0,), dtype)
+        return (both[:, :me], y_g), (both[:, me:], z_g)
+
+    def AG_rmv(y_st, y_g, z_st, z_g):
+        """A' y + G' z in ONE stacked einsum."""
+        vc = jnp.concatenate([y_st, z_st], axis=1)
+        xc = jnp.einsum("kmc,km->kc", M_st, vc, precision=_P)
+        x_st, x_g = uncat(xc)
+        if meg:
+            x_g = x_g + A_geq.T @ y_g
+        if mcg:
+            x_g = x_g + G_g.T @ z_g
+        return x_st, x_g
+
     def A_mv(x_st, x_g):
         xc = cat_x(x_st, x_g)
         y_st = jnp.einsum("kmc,kc->km", A_eq, xc, precision=_P)
@@ -632,23 +655,21 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
             refine_steps = settings.refine_steps
         u3_st = cones.apply_Winv2(rep, rzWd[0])
         u3_g = cones_g.apply_Winv2(rep_g, rzWd[1][None])[0]
-        gt_st, gt_g = G_rmv(u3_st, u3_g)
-        lf_st, lf_g = A_rmv(rho * f2[0], rho * f2[1])
-        r1 = (f1[0] - gt_st + lf_st, f1[1] - gt_g + lf_g)
+        # A'(rho f2) - G' u3 in one stacked einsum
+        mf_st, mf_g = AG_rmv(rho * f2[0], rho * f2[1], -u3_st, -u3_g)
+        r1 = (f1[0] + mf_st, f1[1] + mf_g)
 
         dx, dy = kkt_raw_solve(fact, r1, f2, raw_precision)
         for _ in range(refine_steps):
             # exact residuals of the lifted system:
             # H_lift dx = G' W^-2 G dx + rho A'A dx
-            gx_st, gx_g = G_mv(*dx)
+            (ax_st, ax_g), (gx_st, gx_g) = AG_mv(*dx)
             wx_st = cones.apply_Winv2(rep, gx_st)
             wx_g = cones_g.apply_Winv2(rep_g, gx_g[None])[0]
-            hx_st, hx_g = G_rmv(wx_st, wx_g)
-            ax_st, ax_g = A_mv(*dx)
-            lx_st, lx_g = A_rmv(rho * ax_st, rho * ax_g)
-            at_st, at_g = A_rmv(*dy)
-            res1 = (r1[0] - hx_st - lx_st - at_st,
-                    r1[1] - hx_g - lx_g - at_g)
+            # G' W^-2 G dx + A'(rho A dx + dy) fused
+            mx_st, mx_g = AG_rmv(rho * ax_st + dy[0], rho * ax_g + dy[1],
+                                 wx_st, wx_g)
+            res1 = (r1[0] - mx_st, r1[1] - mx_g)
             res2 = (f2[0] - ax_st, f2[1] - ax_g)
             cx, cy = kkt_raw_solve(fact, res1, res2, raw_precision)
             dx = (dx[0] + cx[0], dx[1] + cx[1])
@@ -737,12 +758,10 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
         """KKT residuals of an iterate + the original-space score used for
         best-iterate tracking (shared by the loop body and the post-loop
         scoring of the final stepped iterate)."""
-        at_st, at_g = A_rmv(*y)
-        gt_st, gt_g = G_rmv(*z)
-        rx = (c_st + at_st + gt_st, c_g + at_g + gt_g)
-        a_st, a_g = A_mv(*x)
+        at_st, at_g = AG_rmv(y[0], y[1], z[0], z[1])
+        rx = (c_st + at_st, c_g + at_g)
+        (a_st, a_g), (gv_st, gv_g) = AG_mv(*x)
         ry = (a_st - b_eq, a_g - b_geq)
-        gv_st, gv_g = G_mv(*x)
         rz = (gv_st + s[0] - h, gv_g + s[1] - h_g)
         gap = dot(s, z)
         pres = jnp.sqrt(
@@ -805,12 +824,16 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
             (-rx[0], -rx[1]), (-ry[0], -ry[1]),
             (rz[0] - s_st, rz[1] - s_g),
             refine_steps=pred_refine)
-        dsa = (-(G_mv(*dxa)[0]) - rz[0], -(G_mv(*dxa)[1]) - rz[1])
-        a_s = jnp.minimum(cones.max_step(s_st, dsa[0]),
-                          cones_g.max_step(s_g[None], dsa[1][None]))
-        a_z = jnp.minimum(cones.max_step(z_st, dza[0]),
-                          cones_g.max_step(z_g[None], dza[1][None]))
-        alpha_aff = jnp.minimum(1.0, jnp.minimum(a_s, a_z))
+        gva = G_mv(*dxa)
+        dsa = (-gva[0] - rz[0], -gva[1] - rz[1])
+        # s and z share the cone layout: one stacked max_step call computes
+        # min(a_s, a_z) directly (the batch axis only feeds a global min)
+        a_sz = jnp.minimum(
+            cones.max_step(jnp.concatenate([s_st, z_st], 0),
+                           jnp.concatenate([dsa[0], dza[0]], 0)),
+            cones_g.max_step(jnp.stack([s_g, z_g]),
+                             jnp.stack([dsa[1], dza[1]])))
+        alpha_aff = jnp.minimum(1.0, a_sz)
         gap_aff = dot((s_st + alpha_aff * dsa[0], s_g + alpha_aff * dsa[1]),
                       (z_st + alpha_aff * dza[0], z_g + alpha_aff * dza[1]))
         sigma = jnp.clip((jnp.maximum(gap_aff, 0.0) /
@@ -839,12 +862,14 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
             (-rx[0], -rx[1]), (-ry[0], -ry[1]),
             (rz[0] + cones.apply_W(rep, d_st),
              rz[1] + cones_g.apply_W(rep_g, d_g[None])[0]))
-        dsc = (-(G_mv(*dxc)[0]) - rz[0], -(G_mv(*dxc)[1]) - rz[1])
-        a_s = jnp.minimum(cones.max_step(s_st, dsc[0]),
-                          cones_g.max_step(s_g[None], dsc[1][None]))
-        a_z = jnp.minimum(cones.max_step(z_st, dzc[0]),
-                          cones_g.max_step(z_g[None], dzc[1][None]))
-        alpha = jnp.minimum(1.0, settings.step_frac * jnp.minimum(a_s, a_z))
+        gvc = G_mv(*dxc)
+        dsc = (-gvc[0] - rz[0], -gvc[1] - rz[1])
+        a_sz = jnp.minimum(
+            cones.max_step(jnp.concatenate([s_st, z_st], 0),
+                           jnp.concatenate([dsc[0], dzc[0]], 0)),
+            cones_g.max_step(jnp.stack([s_g, z_g]),
+                             jnp.stack([dsc[1], dzc[1]])))
+        alpha = jnp.minimum(1.0, settings.step_frac * a_sz)
 
         x_n = (x_st + alpha * dxc[0], x_g + alpha * dxc[1])
         y_n = (y_st + alpha * dyc[0], y_g + alpha * dyc[1])
