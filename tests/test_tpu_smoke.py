@@ -1,0 +1,142 @@
+"""Compiled-TPU smoke suite (`pytest -m tpu`).
+
+The CPU suite pins `jax_platforms=cpu` (tests/conftest.py), so until r03
+the only compiled-TPU coverage was the Pallas subprocess check and
+bench.py itself — and the r02 lesson (interpreter mode hid a Mosaic
+lowering crash) says compiled-path regressions need a gate cheaper than
+the 6-minute bench. This module runs ONE fresh subprocess against the
+attached chip (sharing bench.py's persistent compilation cache) with four
+small checks:
+
+  1. staged IPM on a flagship RocketQuat K=30 SCvx subproblem, fp32:
+     relgap + primal/dual residuals under the production eps_feas;
+  2. a tiny batch=2 solve_scvx (Rocket2D, K=10): converges, finite;
+  3. the Pallas SOC kernel compiled (Mosaic lowering + values);
+  4. fp32 stock Rocket2D SC solve: converges and lands in the golden
+     defect-cost basin (the cheap slice of test_goldens' fp32 gate).
+
+Skipped (not failed) when no TPU is attached or the tunnel is
+unresponsive, mirroring test_pallas.py. NOTE: the attached chip is a
+single-client tunnel — don't run this concurrently with bench.py.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SMOKE = """
+import json, time
+import jax
+import numpy as np
+
+tpus = [d for d in jax.devices() if d.platform == "tpu"]
+if not tpus:
+    print("SKIP"); raise SystemExit(0)
+
+# share the bench compilation cache (keyed by machine, see bench.py)
+import hashlib, platform
+try:
+    with open("/proc/cpuinfo") as f:
+        flags = next((ln for ln in f if ln.startswith("flags")), "")
+except OSError:
+    flags = ""
+tag = hashlib.sha256((platform.machine() + flags).encode()).hexdigest()[:12]
+import os as _os
+jax.config.update("jax_compilation_cache_dir",
+                  _os.environ.get("JAX_CACHE_DIR", f"/tmp/jax_cache_{tag}"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+out = {}
+
+# --- 1. staged IPM on one flagship subproblem -------------------------
+from scpp_tpu.algos.staged_problems import build_scvx_subproblem_staged
+from scpp_tpu.models import Rocket2D, RocketQuat
+from scpp_tpu.ops.discretization import multiple_shooting
+from scpp_tpu.solver.ipm import IPMSettings
+from scpp_tpu.solver.ipm_staged import solve_staged_ipm
+
+params = RocketQuat.default_params()
+p = RocketQuat.nondimensionalize(params)
+par = RocketQuat.param_vector(p)
+td = RocketQuat.init_trajectory(p, 30, True)
+ref = RocketQuat.constraint_ref(p, td)
+dtype = td.X.dtype
+dd = multiple_shooting(RocketQuat, par, td, substeps=6, variable_time=False)
+prog = build_scvx_subproblem_staged(
+    RocketQuat, p, td, dd, jnp.asarray(5.0, dtype), jnp.asarray(1e3, dtype),
+    ref, None)
+s = IPMSettings(iters=25, eps_reg=1e-4, eps_feas=1e-4, refine_steps=2)
+res = solve_staged_ipm(prog, s)
+out["ipm"] = {"res_pri": float(res.res_pri), "res_dua": float(res.res_dua),
+              "res_gap": float(res.res_gap)}
+assert float(res.res_pri) < 1e-4 and float(res.res_dua) < 1e-4, out["ipm"]
+assert float(res.res_gap) < 1e-3, out["ipm"]
+
+# --- 2. tiny batch=2 solve_scvx ---------------------------------------
+from scpp_tpu.algos.scvx import solve_scvx
+from scpp_tpu.configs.algorithms import SCvxConfig
+from scpp_tpu.parallel.scenarios import disperse_initial_state
+
+cfg = SCvxConfig(K=10, max_iterations=8, solve_budget=12, substeps=4,
+                 sim_substeps=5,
+                 solver=IPMSettings(iters=20, eps_reg=1e-4, eps_feas=1e-4,
+                                    refine_steps=2))
+pb = disperse_initial_state(Rocket2D, Rocket2D.default_params(),
+                            jax.random.PRNGKey(0), 2, scale=1.0)
+r2 = jax.jit(jax.vmap(lambda q: solve_scvx(Rocket2D, q, cfg)))(pb)
+conv = np.asarray(r2.converged)
+out["scvx2"] = {"converged": int(conv.sum()),
+                "finite": bool(np.isfinite(np.asarray(r2.td.U)).all())}
+assert out["scvx2"]["finite"]
+assert conv.all(), out["scvx2"]
+
+# --- 3. Pallas SOC kernel compiled ------------------------------------
+from scpp_tpu.ops.soc_pallas import (soc_project_blocks,
+                                     soc_project_blocks_reference)
+rng = np.random.default_rng(0)
+blocks = (rng.standard_normal((30, 3)) * 3.0).astype(np.float32)
+kout = soc_project_blocks(jnp.asarray(blocks), 3, False)
+kref = soc_project_blocks_reference(jnp.asarray(blocks))
+out["pallas"] = float(jnp.max(jnp.abs(kout - kref)))
+assert out["pallas"] < 1e-5, out["pallas"]
+
+# --- 4. fp32 stock Rocket2D SC in the golden cost basin ---------------
+from scpp_tpu.algos.sc import solve_sc
+from scpp_tpu.configs.algorithms import SCConfig
+rsc = solve_sc(Rocket2D, Rocket2D.default_params(),
+               SCConfig(solver=IPMSettings(iters=25, eps_reg=1e-4,
+                                           eps_feas=1e-4, refine_steps=2)))
+out["sc"] = {"converged": bool(np.asarray(rsc.converged)),
+             "t": float(np.asarray(rsc.td.t))}
+assert out["sc"]["converged"], out["sc"]
+g = np.load(_os.path.join({repo!r}, "tests/goldens/rocket2d_sc.npz"))
+t_err = abs(out["sc"]["t"] - float(g["t"])) / float(g["t"])
+out["sc"]["t_err_vs_golden"] = t_err
+assert t_err < 0.05, out["sc"]
+
+print("PASS " + json.dumps(out))
+"""
+
+
+@pytest.mark.tpu
+def test_tpu_smoke():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        filter(None, [env.get("PYTHONPATH"), _REPO]))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _SMOKE.replace("{repo!r}", repr(_REPO))],
+            env=env, capture_output=True, text=True, timeout=900)
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU attached but unresponsive within 900s")
+    out = r.stdout.strip().splitlines()
+    assert r.returncode == 0, f"smoke failed:\n{r.stderr[-3000:]}"
+    assert out, f"no output:\n{r.stderr[-3000:]}"
+    if out[-1] == "SKIP":
+        pytest.skip("no TPU attached")
+    assert out[-1].startswith("PASS"), out[-1]

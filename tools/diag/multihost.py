@@ -48,15 +48,14 @@ def _setup_jax(n_local_devices):
 
 
 def _solve_cfg():
-    from scpp_tpu.configs.algorithms import SCvxConfig
+    from scpp_tpu.configs.algorithms import SCConfig
     from scpp_tpu.solver.ipm import IPMSettings
-    # small Rocket2D configuration (bench_multichip.py MC_SMALL shape):
-    # the sharding semantics are identical to the flagship's — only the
-    # compile/solve budget differs, which matters on a 2-vCPU host
-    return SCvxConfig(K=10, max_iterations=8, solve_budget=12,
-                      substeps=4, sim_substeps=5,
-                      solver=IPMSettings(iters=20, eps_reg=1e-4,
-                                         eps_feas=1e-4, refine_steps=2))
+    # stock Rocket2D SC (K=25, free final time): converges in ~6
+    # iterations for scale-1 dispersions, so the artifact demonstrates
+    # *converged* sharded solves; the sharding semantics are identical to
+    # the flagship SCvx batch (pure scenario axis)
+    return SCConfig(solver=IPMSettings(iters=25, eps_reg=1e-4,
+                                       eps_feas=1e-4, refine_steps=2))
 
 
 def _solve_sharded(jax, batch):
@@ -66,7 +65,7 @@ def _solve_sharded(jax, batch):
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from scpp_tpu.algos.scvx import solve_scvx
+    from scpp_tpu.algos.sc import solve_sc
     from scpp_tpu.models import Rocket2D
     from scpp_tpu.parallel.scenarios import disperse_initial_state
 
@@ -88,7 +87,7 @@ def _solve_sharded(jax, batch):
 
     @jax.jit
     def run(p):
-        return jax.vmap(lambda q: solve_scvx(Rocket2D, q, cfg))(p)
+        return jax.vmap(lambda q: solve_sc(Rocket2D, q, cfg))(p)
 
     t0 = time.perf_counter()
     res = run(pb_g)
