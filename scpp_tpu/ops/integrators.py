@@ -59,13 +59,20 @@ TABLEAUS = {"rk4": _RK4, "dopri5": _DOPRI5}
 
 
 def rk_step(f, y, t, h, method: str = "dopri5"):
-    """One explicit RK step of size h for y' = f(y, t)."""
+    """One explicit RK step of size h for y' = f(y, t).
+
+    Tableau coefficients are unwrapped to weak Python floats so the state
+    dtype governs: a strong np.float64 scalar would silently promote a
+    float32 integration to f64 when x64 is enabled (the mixed-precision
+    accuracy lane runs fp32 data in an x64-enabled process)."""
     c, a_rows, b = TABLEAUS[method]
     ks = []
     for i in range(len(c)):
-        yi = _axpy(y, [(h * a_rows[i][j], ks[j]) for j in range(i)]) if i else y
-        ks.append(f(yi, t + c[i] * h))
-    return _axpy(y, [(h * b[i], ks[i]) for i in range(len(ks)) if b[i] != 0.0])
+        yi = _axpy(y, [(h * float(a_rows[i][j]), ks[j])
+                       for j in range(i)]) if i else y
+        ks.append(f(yi, t + float(c[i]) * h))
+    return _axpy(y, [(h * float(b[i]), ks[i])
+                     for i in range(len(ks)) if b[i] != 0.0])
 
 
 def integrate_fixed(f, y0, t0, t1, steps: int, method: str = "dopri5"):

@@ -80,6 +80,25 @@ class IPMSettings:
     # precision, residual in high). Irrelevant on CPU/f64 (always full).
     matmul_precision: str = struct.field(pytree_node=False, default="highest")
     kkt_precision: str = struct.field(pytree_node=False, default="highest")
+    # float64 iterative refinement (staged backend only): compute the KKT
+    # refinement residuals and accumulate corrections in f64 while the
+    # factorization and raw solves stay in the working dtype. Pure-fp32
+    # refinement gives backward-stable solves but forward error ~eps32 *
+    # kappa, which floors the achievable duality gap at ~1e-2 on SC
+    # subproblems (measured; the factor breaks down near mu ~ 3e-7);
+    # f64 residuals restore forward accuracy ~eps32 until kappa ~ 1e9,
+    # letting fp32 solves reach f64-grade gaps. Requires jax_enable_x64
+    # (f64 is emulated on TPU — a few slow matvecs per solve; the
+    # factorization, the dominant cost, stays fp32).
+    refine_f64: bool = struct.field(pytree_node=False, default=False)
+    # KKT factorization dtype (staged backend only): "working" factors in
+    # the iterate dtype; "float64" factors in f64 even for fp32 problems —
+    # the accuracy lane. An fp32 factorization floors the achievable
+    # duality gap at ~sqrt(eps32) ~ 1e-2 on SC subproblems (the KKT
+    # condition number grows like 1/mu, and near mu ~ 3e-7 the fp32
+    # factor NaNs; measured on stock Rocket2D SC). Combine with
+    # refine_f64=True for f64-grade solutions from an fp32 problem.
+    kkt_dtype: str = struct.field(pytree_node=False, default="working")
 
 
 class _ConeOps:

@@ -196,11 +196,22 @@ class _BatchCones:
             alphas.append(jnp.min(jnp.minimum(a_soc, head_cap)))
         return jnp.min(jnp.stack(alphas))
 
-    def nt_scaling(self, s, z):
+    def nt_scaling(self, s, z, compute_dtype=None):
         """NT scaling point; returns (rep, lam) with ``rep`` holding DENSE
         per-stage block-diagonal W / W^-1 / W^-2 matrices (B, mc, mc),
         assembled once per iteration so every apply is a single batched
-        einsum that rides the MXU."""
+        einsum that rides the MXU.
+
+        ``compute_dtype``: optional higher precision for the scaling-point
+        arithmetic itself (outputs are cast back to the input dtype). The
+        SOC scaling point needs det(s) = s0^2 - ||s_tail||^2, a cancelling
+        difference that loses all significance in fp32 once a cone is
+        within ~sqrt(eps32) of its boundary — which is exactly where the
+        central path walks as mu -> 0."""
+        out_dtype = s.dtype
+        if compute_dtype is not None and compute_dtype != s.dtype:
+            s = s.astype(compute_dtype)
+            z = z.astype(compute_dtype)
         dtype = s.dtype
         lam = jnp.zeros_like(s)
         Wd = jnp.zeros((self.B, self.mc + 1, self.mc + 1), dtype)
@@ -252,10 +263,10 @@ class _BatchCones:
             Wd = Wd.at[:, ridx, cidx].set(Wb)
             Wi = Wi.at[:, ridx, cidx].set(Wib)
             Wi2 = Wi2.at[:, ridx, cidx].set(Wi2b)
-        rep = {"W": Wd[:, :self.mc, :self.mc],
-               "Winv": Wi[:, :self.mc, :self.mc],
-               "Winv2": Wi2[:, :self.mc, :self.mc]}
-        return rep, lam
+        rep = {"W": Wd[:, :self.mc, :self.mc].astype(out_dtype),
+               "Winv": Wi[:, :self.mc, :self.mc].astype(out_dtype),
+               "Winv2": Wi2[:, :self.mc, :self.mc].astype(out_dtype)}
+        return rep, lam.astype(out_dtype)
 
     def identity_rep(self, dtype):
         I = jnp.broadcast_to(jnp.eye(self.mc, dtype=dtype),
@@ -540,7 +551,36 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
     def dot(a, b):
         return sum(jnp.vdot(x, y) for x, y in zip(a, b))
 
+    # Mixed-precision mode (IPMSettings.refine_f64): the ITERATES and all
+    # small vector/cone algebra (NT scaling, residuals, step lengths, the
+    # Mehrotra corrector assembly, refinement residuals) run in float64,
+    # while the O(K w^3) KKT factorization and triangular solves — the
+    # dominant cost — stay in the working fp32. Rationale (measured on the
+    # stock Rocket2D SC subproblem): pure-fp32 floors the duality gap at
+    # ~2.6e-2 because near mu ~ 3e-7 the cancelling cone determinants
+    # det(s) = s0^2 - ||s_tail||^2 and the mu-level corrector algebra lose
+    # all significance, the predictor NaNs, and the solver freezes; fp64
+    # algebra + fp32-factor-preconditioned refinement reaches f64-grade
+    # gaps at fp32-factor cost. JAX type promotion does the heavy lifting:
+    # with f64 iterates, the fp32 operator matvecs promote to f64.
+    mixed_f64 = settings.refine_f64 and dtype != jnp.float64
+    compute_dtype = jnp.float64 if mixed_f64 else dtype
+
+    def _lift(t):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype), t)
+
     # ---- KKT factor / solve ----
+
+    # the factorization dtype: the working dtype by default; float64 when
+    # kkt_dtype="float64" (the accuracy lane — fp32 factorization floors
+    # the achievable duality gap at ~sqrt(eps32) ~ 1e-2 because the
+    # KKT condition number grows like 1/mu; a f64 factor removes the
+    # floor at the cost of emulated-f64 matmuls on TPU)
+    fdtype = (jnp.float64 if settings.kkt_dtype == "float64"
+              and dtype != jnp.float64 else dtype)
+    A_eq_f = A_eq.astype(fdtype)
+    A_geq_f = A_geq.astype(fdtype)
 
     def kkt_factor(rep, rep_g):
         # the factorization is a *preconditioner*: refinement in kkt_solve
@@ -548,7 +588,10 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
         # Gram assembly and the cyclic-reduction Schur algebra — the
         # solver's dominant matmul passes — may run at kkt_precision
         # (bf16 on the fast path). Only the Cholesky pivots need full
-        # precision; signed_cholesky pins that internally.
+        # precision; signed_cholesky pins that internally. The scaling rep
+        # is cast to the factor dtype at this boundary.
+        rep = {k: v.astype(fdtype) for k, v in rep.items()}
+        rep_g = {k: v.astype(fdtype) for k, v in rep_g.items()}
         with jax.default_matmul_precision(settings.kkt_precision):
             return _kkt_factor_impl(rep, rep_g)
 
@@ -556,18 +599,18 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
         # H = G' W^-2 G + rho A'A: the rho-lift keeps the primal pivots
         # positive-definite along directions whose cone rows go inactive
         # (W^-2 -> 0 there as mu -> 0), exactly as in the dense backend
-        Gw = cones.apply_Winv_rows(rep, G)                      # (K, mc, C)
-        Gw = jnp.concatenate([Gw, sqrho * A_eq], axis=1)
+        Gw = cones.apply_Winv_rows(rep, G.astype(fdtype))       # (K, mc, C)
+        Gw = jnp.concatenate([Gw, sqrho.astype(fdtype) * A_eq_f], axis=1)
         Gam = jnp.einsum("kmc,kmd->kcd", Gw, Gw, precision=_P)  # (K, C, C)
         Hxx = Gam[:, :w, :w]
         Hnn = Gam[:, w:2 * w, w:2 * w]
         Hxn = Gam[:, w:2 * w, :w]
 
-        I_w = jnp.eye(w, dtype=dtype)
+        I_w = jnp.eye(w, dtype=fdtype)
         Dxx = eps * I_w + Hxx
         Dxx = Dxx.at[1:].add(Hnn[:-1])
-        Dxy = jnp.swapaxes(A_eq[:, :, :w], 1, 2)                # (K, w, me)
-        Dyy = jnp.broadcast_to(-delta * jnp.eye(me, dtype=dtype),
+        Dxy = jnp.swapaxes(A_eq_f[:, :, :w], 1, 2)              # (K, w, me)
+        Dyy = jnp.broadcast_to(-delta * jnp.eye(me, dtype=fdtype),
                                (K, me, me))
         D = jnp.concatenate([
             jnp.concatenate([Dxx, Dxy], axis=2),
@@ -575,10 +618,10 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
             axis=1)                                             # (K, Wp, Wp)
 
         Oxx = Hxn[:-1]                                          # (K-1, w, w)
-        Oxy = jnp.swapaxes(A_eq[:-1, :, w:2 * w], 1, 2)         # (K-1, w, me)
+        Oxy = jnp.swapaxes(A_eq_f[:-1, :, w:2 * w], 1, 2)       # (K-1, w, me)
         O = jnp.concatenate([
             jnp.concatenate([Oxx, Oxy], axis=2),
-            jnp.zeros((K - 1, me, Wp), dtype)], axis=1)
+            jnp.zeros((K - 1, me, Wp), fdtype)], axis=1)
 
         if gm == 0:
             if settings.kkt == "cr":
@@ -589,22 +632,22 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
         Hxg = Gam[:, :w, 2 * w:]
         Hng = Gam[:, w:2 * w, 2 * w:]
         Bxg = Hxg.at[1:].add(Hng[:-1])                          # (K, w, g)
-        Byg = A_eq[:, :, 2 * w:]                                # (K, me, g)
+        Byg = A_eq_f[:, :, 2 * w:]                              # (K, me, g)
         Bg = jnp.concatenate([
-            jnp.concatenate([Bxg, jnp.zeros((K, w, meg), dtype)], axis=2),
-            jnp.concatenate([Byg, jnp.zeros((K, me, meg), dtype)], axis=2)],
+            jnp.concatenate([Bxg, jnp.zeros((K, w, meg), fdtype)], axis=2),
+            jnp.concatenate([Byg, jnp.zeros((K, me, meg), fdtype)], axis=2)],
             axis=1)                                             # (K, Wp, gm)
 
         Hgg = jnp.sum(Gam[:, 2 * w:, 2 * w:], axis=0)
         if mcg:
-            Ggw = cones_g.apply_Winv_rows(rep_g, G_g[None])[0]
+            Ggw = cones_g.apply_Winv_rows(rep_g, G_g.astype(fdtype)[None])[0]
             Hgg = Hgg + Ggw.T @ Ggw
         if meg:
-            Hgg = Hgg + rho * (A_geq.T @ A_geq)
-        Cg_xx = Hgg + eps * jnp.eye(g, dtype=dtype)
+            Hgg = Hgg + rho * (A_geq_f.T @ A_geq_f)
+        Cg_xx = Hgg + eps * jnp.eye(g, dtype=fdtype)
         Cg = jnp.concatenate([
-            jnp.concatenate([Cg_xx, A_geq.T], axis=1),
-            jnp.concatenate([A_geq, -delta * jnp.eye(meg, dtype=dtype)],
+            jnp.concatenate([Cg_xx, A_geq_f.T], axis=1),
+            jnp.concatenate([A_geq_f, -delta * jnp.eye(meg, dtype=fdtype)],
                             axis=1)], axis=0)
         if settings.kkt == "cr":
             return ("cr_arrow",) + cr_arrow_factor(D, O, Bg, Cg, w, g)
@@ -626,8 +669,12 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
             return _kkt_raw_solve_impl(fact, r_x, r_y)
 
     def _kkt_raw_solve_impl(fact, r_x, r_y):
-        rx_st, rx_g = r_x
-        ry_st, ry_g = r_y
+        # the raw solve runs against the factor-dtype triangular factors —
+        # cast residuals at this boundary (f64 residuals from mixed_f64
+        # drop to fp32 when the factor is fp32); corrections promote back
+        # up in the caller's accumulation
+        rx_st, rx_g = (r_x[0].astype(fdtype), r_x[1].astype(fdtype))
+        ry_st, ry_g = (r_y[0].astype(fdtype), r_y[1].astype(fdtype))
         b_stage = jnp.concatenate([rx_st, ry_st], axis=1)       # (K, Wp)
         if fact[0] in ("banded", "cr"):
             if fact[0] == "cr":
@@ -636,8 +683,8 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
                 sol = signed_block_tridiag_solve(fact[1], fact[2], w,
                                                  b_stage)
             dx_st, dy_st = sol[:, :w], sol[:, w:]
-            return (dx_st, jnp.zeros((g,), dtype)), \
-                   (dy_st, jnp.zeros((meg,), dtype))
+            return (dx_st, jnp.zeros((g,), fdtype)), \
+                   (dy_st, jnp.zeros((meg,), fdtype))
         b_glob = jnp.concatenate([rx_g, ry_g])
         if fact[0] == "cr_arrow":
             sol_st, sol_g = cr_arrow_solve(fact[1:], b_stage, b_glob)
@@ -660,6 +707,10 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
         r1 = (f1[0] + mf_st, f1[1] + mf_g)
 
         dx, dy = kkt_raw_solve(fact, r1, f2, raw_precision)
+        # under mixed_f64 the refinement residuals and the accumulated
+        # corrections run in f64 (r1/f2/rep are already f64 from the f64
+        # iterates; promotion lifts the operator matvecs)
+        dx, dy = _lift(dx), _lift(dy)
         for _ in range(refine_steps):
             # exact residuals of the lifted system:
             # H_lift dx = G' W^-2 G dx + rho A'A dx
@@ -801,6 +852,8 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
             residuals_and_score(x, y, s, z)
         mu = gap / nu_deg
 
+        # under mixed_f64 the carried s/z are f64, so the NT scaling's
+        # cancelling determinants are computed in f64 automatically
         rep, lam = cones.nt_scaling(s_st, z_st)
         rep_g, lam_g = cones_g.nt_scaling(s_g[None], z_g[None])
         lam_g = lam_g[0]
@@ -910,7 +963,10 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
         return (sel(x_n, x), sel(y_n, y), sel(s_n, s), sel(z_n, z),
                 done_n, best), None
 
-    best0 = ((x0, x0g), (y0, y0g), s0, z0, jnp.asarray(jnp.inf, dtype))
+    # mixed_f64: the loop carries f64 iterates (see the mode note above)
+    (x0, x0g), (y0, y0g), s0, z0 = _lift(((x0, x0g), (y0, y0g), s0, z0))
+    best0 = ((x0, x0g), (y0, y0g), s0, z0,
+             jnp.asarray(jnp.inf, compute_dtype))
     carry0 = ((x0, x0g), (y0, y0g), s0, z0, jnp.asarray(False), best0)
 
     # early-exit while_loop instead of a fixed-trip scan: the typical
@@ -994,7 +1050,11 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
           + jnp.sum(prog.h * z_st) + jnp.sum(prog.h_g * z_g))
     res_gap = jnp.abs(obj + by) / (1.0 + jnp.abs(obj) + jnp.abs(by))
 
-    return StagedSolverResult(
-        x_stage=x_st, x_glob=x_g, obj=obj,
-        res_pri=res_pri, res_dua=res_dua, res_gap=res_gap,
-        y_stage=y_st, y_glob=y_g, z_stage=z_st, z_glob=z_g)
+    # cast back to the working dtype (under mixed_f64 the final residual
+    # arithmetic above ran in f64; callers carry results in fp32 pytrees)
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype),
+        StagedSolverResult(
+            x_stage=x_st, x_glob=x_g, obj=obj,
+            res_pri=res_pri, res_dua=res_dua, res_gap=res_gap,
+            y_stage=y_st, y_glob=y_g, z_stage=z_st, z_glob=z_g))
