@@ -99,6 +99,14 @@ class IPMSettings:
     # factor NaNs; measured on stock Rocket2D SC). Combine with
     # refine_f64=True for f64-grade solutions from an fp32 problem.
     kkt_dtype: str = struct.field(pytree_node=False, default="working")
+    # fuse each cyclic-reduction KKT solve into ONE Pallas kernel dispatch
+    # (staged backend, kkt="cr", no global block, fp32 factor only). The
+    # unfused solve is ~60 small XLA ops each costing tens of us of fixed
+    # TPU dispatch overhead, at ~6 solves per IPM iteration — the
+    # measured dominant cost of the whole solver at flagship shapes.
+    # Falls back to interpreter mode off-TPU (tests) — enable in
+    # TPU-facing configs only.
+    kkt_fused: bool = struct.field(pytree_node=False, default=False)
 
 
 class _ConeOps:

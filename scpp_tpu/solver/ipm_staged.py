@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from scpp_tpu.solver.cr_pallas import cr_pack, cr_solve_fused
 from scpp_tpu.solver.ipm import IPMSettings
 from scpp_tpu.solver.staged import StagedProgram
 from scpp_tpu.solver.staged_kkt import (
@@ -581,6 +582,11 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
               and dtype != jnp.float64 else dtype)
     A_eq_f = A_eq.astype(fdtype)
     A_geq_f = A_geq.astype(fdtype)
+    # fused Pallas CR solve: TPU needs an fp32 factor (no f64 Mosaic);
+    # off-TPU the interpreter path exercises the same code in tests
+    use_fused = (settings.kkt_fused and settings.kkt == "cr" and gm == 0
+                 and (fdtype == jnp.float32
+                      or jax.default_backend() != "tpu"))
 
     def kkt_factor(rep, rep_g):
         # the factorization is a *preconditioner*: refinement in kkt_solve
@@ -625,7 +631,11 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
 
         if gm == 0:
             if settings.kkt == "cr":
-                return ("cr",) + cr_factor(D, O, w)
+                fact = cr_factor(D, O, w)
+                if use_fused:
+                    packed, p_sig = cr_pack(fact, K)
+                    return ("cr_fused", packed, p_sig)
+                return ("cr",) + fact
             L_diag, C_sub = signed_block_tridiag_factor(D, O, w)
             return ("banded", L_diag, C_sub)
 
@@ -676,6 +686,12 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
         rx_st, rx_g = (r_x[0].astype(fdtype), r_x[1].astype(fdtype))
         ry_st, ry_g = (r_y[0].astype(fdtype), r_y[1].astype(fdtype))
         b_stage = jnp.concatenate([rx_st, ry_st], axis=1)       # (K, Wp)
+        if fact[0] == "cr_fused":
+            sol = cr_solve_fused(fact[1], b_stage, fact[2],
+                                 jax.default_backend() != "tpu")
+            dx_st, dy_st = sol[:, :w], sol[:, w:]
+            return (dx_st, jnp.zeros((g,), fdtype)), \
+                   (dy_st, jnp.zeros((meg,), fdtype))
         if fact[0] in ("banded", "cr"):
             if fact[0] == "cr":
                 sol = cr_solve(fact[1:], b_stage)
