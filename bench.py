@@ -263,12 +263,41 @@ def bench_throughput(batch, budget, repeats):
         times.append(time.perf_counter() - t0)
     best = min(times)
 
+    import numpy as np
+
     conv = int(jnp.sum(jnp.asarray(res.converged)))
     finite_res = jnp.where(jnp.isfinite(res.max_residual),
                            res.max_residual, 0.0)
+
+    # conic residual at each scenario's LAST ACCEPTED step — the number
+    # that describes the quality of the *answer*, unlike max_residual
+    # which is dominated by mid-solve rejected/masked transients
+    # (VERDICT r03 #4a). Asserted sane: accepted steps should be solved
+    # to ~eps_feas.
+    rp = np.asarray(res.res_pri)
+    rd = np.asarray(res.res_dua)
+    acc = np.asarray(res.accepted)
+    step_res = np.maximum(rp, rd)
+    has_acc = acc.any(axis=1)
+    last_idx = acc.shape[1] - 1 - acc[:, ::-1].argmax(axis=1)
+    fin = step_res[np.arange(acc.shape[0]), last_idx]
+    residual_final = float(np.max(fin[has_acc])) if has_acc.any() else None
+
+    # how often the solve budget binds (VERDICT r03 #9): scenarios that
+    # used the full budget without converging and without reaching the
+    # accept cap — the reference bounds accepts with unbounded rejects,
+    # we bound total solves (PARITY.md)
+    steps = np.asarray(res.steps)
+    iters = np.asarray(res.iterations)
+    convd = np.asarray(res.converged)
+    budget_bound = int(np.sum((steps >= budget) & ~convd
+                              & (iters < cfg.max_iterations)))
+
     print(f"# batch={batch}: best={best:.3f}s over {repeats} runs; "
           f"{conv}/{batch} converged; max_residual="
-          f"{float(jnp.max(finite_res)):.2e}", file=sys.stderr)
+          f"{float(jnp.max(finite_res)):.2e}; residual_final="
+          f"{residual_final if residual_final is None else round(residual_final, 6)}; "
+          f"budget_bound={budget_bound}", file=sys.stderr)
     return {
         "batch": batch,
         "seconds": round(best, 3),
@@ -277,7 +306,29 @@ def bench_throughput(batch, budget, repeats):
         "converged": conv,
         "compile_s": round(compile_s, 1),
         "max_residual": float(jnp.max(finite_res)),
+        "residual_final": residual_final,
+        "residual_final_ok": (residual_final is not None
+                              and residual_final < 1e-2),
+        "budget_bound_scenarios": budget_bound,
     }
+
+
+def bench_dispatch():
+    """Bare host<->device dispatch round trip (a trivial jitted op +
+    device->host transfer), backing the tunnel-latency attribution of the
+    MPC per-call numbers (VERDICT r03 #4b)."""
+    f = jax.jit(lambda a: a + 1.0)
+    x = jnp.zeros(())
+    float(f(x))
+    lats = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        float(f(x))
+        lats.append((time.perf_counter() - t0) * 1e3)
+    lats.sort()
+    p50 = lats[len(lats) // 2]
+    print(f"# dispatch round-trip p50: {p50:.3f} ms", file=sys.stderr)
+    return p50
 
 
 def main():
@@ -298,6 +349,10 @@ def main():
         "batch": batch,
         "compile_s": r["compile_s"],
         "max_residual": round(r["max_residual"], 8),
+        "residual_final": (None if r["residual_final"] is None
+                           else round(r["residual_final"], 8)),
+        "residual_final_ok": r["residual_final_ok"],
+        "budget_bound_scenarios": r["budget_bound_scenarios"],
     }
     # evidence even if an extra below hard-crashes the process: mirror the
     # headline to stderr immediately
@@ -312,6 +367,10 @@ def main():
             print(f"# extra '{name}' FAILED:", file=sys.stderr)
             traceback.print_exc()
             return None
+
+    d = guarded("dispatch", bench_dispatch)
+    if d is not None:
+        headline["dispatch_ms"] = round(d, 3)
 
     if os.environ.get("BENCH_SWEEP", "0") == "1":
         sweep = guarded("sweep", lambda: [

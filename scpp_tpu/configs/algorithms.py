@@ -135,7 +135,16 @@ class SCConfig:
 
 @dataclass(frozen=True)
 class MPCConfig:
-    """Linear receding-horizon SOCP MPC, MPC.info."""
+    """Linear receding-horizon SOCP MPC, MPC.info.
+
+    ``solver``: the PRODUCTION backend is the dense IPM (default). A
+    first-order HSD backend (scs.SolverSettings) is also accepted but is
+    demoted to experimental/oracle status: measured at stock MPC shapes
+    in fp32, warm re-solves stall at ~5e-4 residuals (above the 1e-4
+    solved threshold) and degrade with more iterations — a structural
+    fp32 first-order accuracy floor, not a tuning issue. See
+    solver/scs.py STATUS note and BENCH mpc_resolve lines.
+    """
 
     K: int = 7
     time_horizon: float = 1.5

@@ -23,6 +23,19 @@ once per problem instance so each iteration is two A-matvecs and one
 Ruiz equilibration preconditions A (rows within one SOC block share a
 scale so cone membership is preserved), which together with the models'
 nondimensionalization gives fp32-viable conditioning on TPU.
+
+STATUS (r04): experimental / test-oracle, NOT the production conic
+backend. The north star names "batched first-order conic solver
+(PDHG/ADMM)" as the ECOS replacement, but measured head-to-head the
+interior-point backends (solver/ipm.py dense, solver/ipm_staged.py
+staged) dominate on every production path: SC/SCvx subproblems need
+~1e-5 feasibility that fixed-budget fp32 ADMM cannot reach, and warm MPC
+re-solves stall at ~5e-4 residuals (above the 1e-4 solved threshold)
+with accuracy DEGRADING as iterations increase — an fp32 first-order
+floor plus warm-chain drift, reproduced on CPU and TPU at stock shapes
+(see bench.py mpc_resolve lines and VERDICT r03 #5). Kept as an
+independent algorithm family for cross-checking the IPMs and for the
+Pallas SOC-projection kernel it hosts.
 """
 
 from __future__ import annotations
