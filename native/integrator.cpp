@@ -13,6 +13,7 @@
 //                     double rtol, double atol, double* x_out, long* n_steps)
 //   model_id: 0 = Rocket2D (n=6, m=2, p=6)
 //             1 = RocketQuat (n=14, m=4, p=10)
+//             2 = RocketEuler (n=13, m=4, p=10)
 // Input u(t) = u0 + t/dt (u1 - u0) (FOH), as in scpp::simulate.
 
 #include <cmath>
@@ -89,6 +90,60 @@ void rocketquat_f(const double* par, const double* x, const double* u,
   f[13] = tau2 / J_B[2];
 }
 
+void rocketeuler_f(const double* par, const double* x, const double* u,
+                   double* f) {
+  // RocketQuat dynamics with intrinsic x-y'-z'' Euler attitude
+  // (scpp_tpu/models/rocket_euler.py:138-159): state
+  // (m, r(3), v(3), eta(3), w(3)), input (T(3), tz).
+  const double alpha_m = par[0];
+  const double* g_I = par + 1;
+  const double* J_B = par + 4;
+  const double* r_T_B = par + 7;
+
+  const double m = x[0];
+  const double* v = x + 4;
+  const double* eta = x + 7;
+  const double* w = x + 10;
+  const double* T = u;
+  const double tz = u[3];
+
+  const double Tn = std::sqrt(T[0] * T[0] + T[1] * T[1] + T[2] * T[2]);
+
+  const double cphi = std::cos(eta[0]), sphi = std::sin(eta[0]);
+  const double cth = std::cos(eta[1]), sth = std::sin(eta[1]);
+  const double cpsi = std::cos(eta[2]), spsi = std::sin(eta[2]);
+
+  // R = Rx(phi) * Ry(theta) * Rz(psi)
+  double Ry_z[3][3] = {{cth * cpsi, -cth * spsi, sth},
+                       {spsi, cpsi, 0.0},
+                       {-sth * cpsi, sth * spsi, cth}};
+  double R[3][3];
+  // Rx(phi) * Ry_z
+  for (int j = 0; j < 3; ++j) R[0][j] = Ry_z[0][j];
+  for (int j = 0; j < 3; ++j)
+    R[1][j] = cphi * Ry_z[1][j] - sphi * Ry_z[2][j];
+  for (int j = 0; j < 3; ++j)
+    R[2][j] = sphi * Ry_z[1][j] + cphi * Ry_z[2][j];
+
+  f[0] = -alpha_m * Tn;
+  f[1] = v[0];
+  f[2] = v[1];
+  f[3] = v[2];
+  for (int i = 0; i < 3; ++i)
+    f[4 + i] = (R[i][0] * T[0] + R[i][1] * T[1] + R[i][2] * T[2]) / m + g_I[i];
+  // etadot = M(eta) w  (rotationJacobianXYZ re-derivation,
+  // models/mathlib.py:95-110; singular at theta = +-90 deg)
+  f[7] = (cpsi * w[0] - spsi * w[1]) / cth;
+  f[8] = spsi * w[0] + cpsi * w[1];
+  f[9] = (-sth * cpsi * w[0] + sth * spsi * w[1]) / cth + w[2];
+  const double tau0 = r_T_B[1] * T[2] - r_T_B[2] * T[1];
+  const double tau1 = r_T_B[2] * T[0] - r_T_B[0] * T[2];
+  const double tau2 = r_T_B[0] * T[1] - r_T_B[1] * T[0] + tz;
+  f[10] = tau0 / J_B[0];
+  f[11] = tau1 / J_B[1];
+  f[12] = tau2 / J_B[2];
+}
+
 struct Model {
   int n, m;
   void (*f)(const double*, const double*, const double*, double*);
@@ -97,6 +152,7 @@ struct Model {
 const Model kModels[] = {
     {6, 2, rocket2d_f},
     {14, 4, rocketquat_f},
+    {13, 4, rocketeuler_f},
 };
 
 // ---- adaptive Dormand-Prince 5(4) ----
@@ -122,7 +178,7 @@ extern "C" int scpp_simulate(int model_id, const double* par,
                              const double* x0, const double* u0,
                              const double* u1, double dt, double rtol,
                              double atol, double* x_out, long* n_steps) {
-  if (model_id < 0 || model_id >= 2) return -1;
+  if (model_id < 0 || model_id >= 3) return -1;
   const Model& M = kModels[model_id];
   const int n = M.n;
 

@@ -27,7 +27,7 @@ _LIB_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
 _LIB_PATH = os.path.join(_LIB_DIR, "libscpp_native.so")
 
-MODEL_IDS = {"Rocket2D": 0, "RocketQuat": 1}
+MODEL_IDS = {"Rocket2D": 0, "RocketQuat": 1, "RocketEuler": 2}
 
 _lib = None
 

@@ -136,3 +136,46 @@ def test_model_info_overrides():
         pytest.skip("reference absent")
     p = Rocket2D.from_info(path, constrain_initial_final=False)
     assert p.constrain_initial_final is False
+
+
+def test_starship_preset_ingests_and_flies():
+    """The Starship-class preset (the commented-out block at the top of
+    the reference's RocketQuat model.info, activated as
+    configs/presets/RocketQuat_Starship/model.info) loads through
+    from_info and produces a well-posed problem: sane physics, finite
+    dynamics, and a first staged SCvx subproblem that solves tightly."""
+    import jax.numpy as jnp
+
+    from scpp_tpu.algos.staged_problems import build_scvx_subproblem_staged
+    from scpp_tpu.models import RocketQuat
+    from scpp_tpu.ops.discretization import multiple_shooting
+    from scpp_tpu.solver.ipm import IPMSettings
+    from scpp_tpu.solver.ipm_staged import solve_staged_ipm
+
+    path = os.path.join(os.path.dirname(__file__),
+                        "../scpp_tpu/configs/presets/RocketQuat_Starship/"
+                        "model.info")
+    params = RocketQuat.from_info(path)
+    assert float(params.x_init[0]) == 140000.0        # m_init
+    assert float(params.x_final[0]) == 120000.0       # m_dry
+    assert float(params.T_max) == 3000000.0
+    assert bool(params.exact_minimum_thrust)
+    assert not bool(params.enable_roll_control)
+
+    p = RocketQuat.nondimensionalize(params)
+    par = RocketQuat.param_vector(p)
+    td = RocketQuat.init_trajectory(p, 15, True)
+    assert bool(jnp.all(jnp.isfinite(td.X)))
+    xdot = RocketQuat.flow_map(td.X[0], td.U[0], par)
+    assert bool(jnp.all(jnp.isfinite(xdot)))
+
+    ref = RocketQuat.constraint_ref(p, td)
+    dd = multiple_shooting(RocketQuat, par, td, substeps=6,
+                           variable_time=False)
+    prog = build_scvx_subproblem_staged(
+        RocketQuat, p, td, dd, jnp.asarray(5.0, td.X.dtype),
+        jnp.asarray(1e3, td.X.dtype), ref, None)
+    res = solve_staged_ipm(prog, IPMSettings(iters=30, eps_feas=1e-6))
+    assert float(res.res_pri) < 1e-6
+    assert float(res.res_dua) < 1e-6
+    assert float(res.res_gap) < 1e-4

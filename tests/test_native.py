@@ -63,3 +63,20 @@ def test_native_info_parser_rejects_malformed(tmp_path):
     bad.write_text("a {\n b 1\n")  # unbalanced
     with pytest.raises(ValueError):
         parse_info_native(str(bad))
+
+
+def test_rocketeuler_jax_matches_cpp_oracle():
+    """RocketEuler's flow map vs a fully independent C++ implementation
+    (closing VERDICT r03 missing #5: previously checked only against
+    RocketQuat-under-conversion)."""
+    from scpp_tpu.models import RocketEuler
+    p = RocketEuler.default_params()
+    par = np.asarray(RocketEuler.param_vector(p))
+    x0 = np.asarray(p.x_init)
+    u0 = np.array([20000.0, -10000.0, 300000.0, 0.0])
+    u1 = np.array([15000.0, -5000.0, 280000.0, 0.0])
+    x_cpp, _ = simulate_native("RocketEuler", par, x0, u0, u1, 1.0)
+    x_jax = simulate(RocketEuler, jnp.asarray(par), 1.0, jnp.asarray(u0),
+                     jnp.asarray(u1), jnp.asarray(x0), substeps=24)
+    np.testing.assert_allclose(np.asarray(x_jax), x_cpp, rtol=1e-8,
+                               atol=1e-9)
