@@ -43,10 +43,16 @@ def _machine_tag() -> str:
         (platform.machine() + flags).encode()).hexdigest()[:12]
 
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR",
-                                 f"/tmp/jax_cache_{_machine_tag()}"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# The persistent compilation cache is OPT-IN (JAX_CACHE_DIR): measured
+# r04, serializing the flagship executable into the cache costs ~320 s on
+# this host — 5x the actual trace(13s)+XLA(23s)+first-exec(36s) pipeline —
+# so a cold-cache bench paid 389 s of "compile" where ~71 s is real. Only
+# enable the cache when iterating on the same machine across invocations.
+if os.environ.get("JAX_CACHE_DIR"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+_ = _machine_tag  # kept for JAX_CACHE_DIR=auto users / diagnostics
 
 import jax.numpy as jnp  # noqa: E402
 
