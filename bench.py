@@ -43,11 +43,17 @@ def _machine_tag() -> str:
         (platform.machine() + flags).encode()).hexdigest()[:12]
 
 
-# The persistent compilation cache is OPT-IN (JAX_CACHE_DIR): measured
-# r04, serializing the flagship executable into the cache costs ~320 s on
-# this host — 5x the actual trace(13s)+XLA(23s)+first-exec(36s) pipeline —
-# so a cold-cache bench paid 389 s of "compile" where ~71 s is real. Only
-# enable the cache when iterating on the same machine across invocations.
+# Where "compile+first-run" time actually goes (measured r04, decomposed
+# with lower()/compile()/execute splits on the attached chip): local
+# tracing ~13 s + local XLA compile ~23 s + FIRST EXECUTION of the fresh
+# binary ~220-350 s. The first-exec cost is the remote-attach (axon
+# tunnel) program-load path, not our program's XLA compile — an
+# identical program re-executed by a later process loads in ~30 s, and a
+# never-before-seen variant still compiles locally in ~23 s. On
+# directly-attached TPUs the headline compile cost is therefore ~40 s.
+# The persistent compilation cache is OPT-IN (JAX_CACHE_DIR): it only
+# skips the ~36 s of local work, cannot skip the remote program load,
+# and XLA:CPU cache entries are machine-fragile (tests/conftest.py).
 if os.environ.get("JAX_CACHE_DIR"):
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_CACHE_DIR"])
@@ -261,13 +267,25 @@ def bench_throughput(batch, budget, repeats):
     def run(pbatch):
         return jax.vmap(lambda p: solve_scvx(RocketQuat, p, cfg))(pbatch)
 
+    # decomposed pipeline (see the cache note at the top): local trace,
+    # local XLA compile, then first execution — which on a remote-attached
+    # chip includes the one-time program load (~220-350 s through the
+    # tunnel vs ~40 s of actual local compile)
     t0 = time.perf_counter()
-    res = run(pb)
+    lowered = run.lower(pb)
+    trace_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    xla_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = compiled(pb)
     _fence(res)
-    compile_s = time.perf_counter() - t0
-    print(f"# compile+first-run: {compile_s:.1f}s, batch={batch}, "
-          f"budget={budget}, device={jax.devices()[0].platform}",
-          file=sys.stderr)
+    first_run_s = time.perf_counter() - t0
+    compile_s = trace_s + xla_s + first_run_s
+    print(f"# compile+first-run: {compile_s:.1f}s (trace {trace_s:.1f} + "
+          f"xla {xla_s:.1f} + first-exec/load {first_run_s:.1f}), "
+          f"batch={batch}, budget={budget}, "
+          f"device={jax.devices()[0].platform}", file=sys.stderr)
 
     times = []
     for _ in range(repeats):
@@ -330,6 +348,9 @@ def bench_throughput(batch, budget, repeats):
         "converged_solves_per_s": round(conv / best, 3),
         "converged": conv,
         "compile_s": round(compile_s, 1),
+        "compile_trace_s": round(trace_s, 1),
+        "compile_xla_s": round(xla_s, 1),
+        "first_exec_load_s": round(first_run_s, 1),
         "max_residual": float(jnp.max(finite_res)),
         "residual_final": residual_final,
         "final_cost_max": final_cost_max,
@@ -374,6 +395,9 @@ def main():
         "converged": r["converged"],
         "batch": batch,
         "compile_s": r["compile_s"],
+        "compile_local_s": round(r["compile_trace_s"]
+                                 + r["compile_xla_s"], 1),
+        "first_exec_load_s": r["first_exec_load_s"],
         "max_residual": round(r["max_residual"], 8),
         "residual_final": (None if r["residual_final"] is None
                            else round(r["residual_final"], 8)),
