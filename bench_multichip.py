@@ -60,12 +60,12 @@ def main():
                                             eps_feas=1e-4, refine_steps=2))
     else:
         model = RocketQuat
-        # the bench.py flagship configuration (fp32 IPM settings)
+        # the bench.py flagship configuration (r04 frontier-tuned IPM cap)
         cfg = SCvxConfig(
             K=30, max_iterations=30, solve_budget=45, change_threshold=1e-3,
             nondimensionalize=True, substeps=6, sim_substeps=8,
-            solver=IPMSettings(iters=25, eps_reg=1e-4, eps_feas=1e-4,
-                               refine_steps=2))
+            solver=IPMSettings(iters=6, eps_reg=1e-4, eps_feas=1e-4,
+                               refine_steps=0))
 
     params = model.default_params()
     pb = disperse_initial_state(model, params, jax.random.PRNGKey(0),
