@@ -117,6 +117,7 @@ def main():
         "converged_unsharded": int(np.asarray(r_un.converged).sum()),
         "converged_sharded": int(np.asarray(r_sh.converged).sum()),
         "max_control_deviation": max_dev,
+        "max_control_deviation_rel": max_dev / max(u_scale, 1e-30),
         "step0_control_deviation_rel": step0_dev / max(u_scale, 1e-30),
         "final_cost_deviation": J_dev,
         "note": ("virtual CPU devices share host cores; scenarios are "
