@@ -291,7 +291,10 @@ def bench_throughput(batch, budget, repeats):
     for _ in range(repeats):
         pb_i = jax.tree_util.tree_map(lambda a: a, pb)
         t0 = time.perf_counter()
-        res = run(pb_i)
+        # reuse the explicitly-compiled executable: the jit wrapper's own
+        # cache is separate from lowered.compile(), and calling run()
+        # here would silently re-trace/re-load the program once
+        res = compiled(pb_i)
         _fence(res)
         times.append(time.perf_counter() - t0)
     best = min(times)
