@@ -37,19 +37,28 @@ class MonoCones:
             off += q
         self.soc_offs = tuple(offs)
         self.deg_per_stage = self.l + self.S
-        # identity element as a numpy constant row (1, 1, mc)
-        e = np.zeros((1, 1, self.mc), np.float32)
-        e[..., :self.l] = 1.0
-        for o in self.soc_offs:
-            e[..., o] = 1.0
-        self._e = e
-        # reflection J = diag(1, -1...) on the padded cone axis
-        if self.S:
-            self._Jrow = np.concatenate(
-                [[1.0], -np.ones(self.qmax - 1)]).astype(np.float32)
+
+    # constants are built from broadcasted_iota, NOT captured numpy
+    # arrays: pallas_call rejects captured constants in kernel bodies
+
+    def _head(self, dtype):
+        """(1, 1, 1, qmax) indicator of the SOC head slot."""
+        i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, self.qmax), 3)
+        return (i == 0).astype(dtype)
+
+    def _jrow(self, dtype):
+        """Reflection J = diag(1, -1, ...) as a broadcastable row."""
+        i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, self.qmax), 3)
+        return jnp.where(i == 0, 1.0, -1.0).astype(dtype)
 
     def e(self, dtype):
-        return jnp.asarray(self._e, dtype)
+        """Cone identity element, (1, 1, mc)."""
+        lin = jnp.ones((1, 1, self.l), dtype)
+        if not self.S:
+            return lin
+        head = jnp.broadcast_to(self._head(dtype),
+                                (1, 1, self.S, self.qmax))
+        return self.scatter(lin, head)
 
     # ---- layout ----
 
@@ -159,7 +168,7 @@ class MonoCones:
             lam_lin = jnp.sqrt(sn * zn)
         if self.S:
             sb, zb = self.gather(s), self.gather(z)
-            Jrow = jnp.asarray(self._Jrow, dtype)
+            Jrow = self._jrow(dtype)
             det_s = jnp.maximum(
                 sb[..., 0] ** 2 - jnp.sum(sb[..., 1:] ** 2, 3), 1e-30)
             det_z = jnp.maximum(
@@ -174,10 +183,7 @@ class MonoCones:
             detw = jnp.maximum(
                 wv[..., 0] ** 2 - jnp.sum(wv[..., 1:] ** 2, 3), 1e-30)
             sqrt_detw = jnp.sqrt(detw)
-            head = jnp.concatenate(
-                [jnp.ones(wv.shape[:3] + (1,), dtype),
-                 jnp.zeros(wv.shape[:3] + (self.qmax - 1,), dtype)],
-                axis=3)
+            head = self._head(dtype)
             u = (wv + sqrt_detw[..., None] * head) / jnp.sqrt(
                 2.0 * (wv[..., 0] + sqrt_detw))[..., None]
             rep["u"] = u
@@ -193,12 +199,9 @@ class MonoCones:
         if self.l:
             rep["d"] = jnp.ones((B, K, self.l), dtype)
         if self.S:
-            # W = I: u = e0 / sqrt(... ) with detu = 1: 2 u u' - J = I
-            # => u = e0 (head 1, tail 0), detu = 1
-            head = np.zeros((1, 1, self.S, self.qmax), np.float32)
-            head[..., 0] = 1.0
-            rep["u"] = jnp.broadcast_to(
-                jnp.asarray(head, dtype), (B, K, self.S, self.qmax))
+            # W = I: u = e0 (head 1, tail 0), detu = 1 => 2uu' - J = I
+            rep["u"] = jnp.broadcast_to(self._head(dtype),
+                                        (B, K, self.S, self.qmax))
             rep["detu"] = jnp.ones((B, K, self.S), dtype)
         return rep
 
@@ -209,7 +212,7 @@ class MonoCones:
         return 2.0 * u * uv - detu[..., None] * Jv
 
     def _uinv(self, rep):
-        Jrow = jnp.asarray(self._Jrow, rep["u"].dtype)
+        Jrow = self._jrow(rep["u"].dtype)
         return (rep["u"] * Jrow) / rep["detu"][..., None]
 
     def apply_W(self, rep, v):
