@@ -564,8 +564,21 @@ def _solve_impl(prog: StagedProgram, settings: IPMSettings,
     # algebra + fp32-factor-preconditioned refinement reaches f64-grade
     # gaps at fp32-factor cost. JAX type promotion does the heavy lifting:
     # with f64 iterates, the fp32 operator matvecs promote to f64.
-    mixed_f64 = settings.refine_f64 and dtype != jnp.float64
+    # kkt_dtype="float64" implies f64 compute as well (advisor r04): a
+    # f64 factor returns f64 corrections, which would promote the loop
+    # iterates mid-carry and crash the while_loop type check if the
+    # carry had been built in fp32.
+    mixed_f64 = (settings.refine_f64 or settings.kkt_dtype == "float64") \
+        and dtype != jnp.float64
     compute_dtype = jnp.float64 if mixed_f64 else dtype
+    if mixed_f64 and not jax.config.jax_enable_x64:
+        # without x64, every astype(float64) silently canonicalizes to
+        # fp32 and the "accuracy lane" would deliver plain fp32 results
+        import warnings
+        warnings.warn(
+            "IPMSettings.refine_f64/kkt_dtype='float64' requested but "
+            "jax_enable_x64 is off: f64 is canonicalized away and the "
+            "accuracy lane degrades to plain fp32", stacklevel=2)
 
     def _lift(t):
         return jax.tree_util.tree_map(

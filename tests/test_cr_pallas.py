@@ -65,3 +65,21 @@ def test_fused_vmaps():
         ref = cr_solve(facts[i], b_b[i])
         np.testing.assert_allclose(np.asarray(out[i]), np.asarray(ref),
                                    rtol=1e-9, atol=1e-9)
+
+
+def test_kkt_fused_end_to_end():
+    """solve_staged_ipm(kkt_fused=True) equals the unfused solver on a
+    stage-banded SOCP (advisor r04: no e2e coverage existed). Runs the
+    interpreter path here; the compiled path is exercised by the TPU
+    smoke suite."""
+    from scpp_tpu.solver.ipm import IPMSettings
+    from scpp_tpu.solver.ipm_staged import solve_staged_ipm
+    from tests.test_ipm_mono import _random_prog
+
+    prog = _random_prog(3)
+    s = IPMSettings(iters=30, eps_reg=1e-8, eps_feas=1e-8, refine_steps=1)
+    ref = solve_staged_ipm(prog, s)
+    got = solve_staged_ipm(prog, s.replace(kkt_fused=True))
+    assert float(got.res_pri) < 1e-7
+    np.testing.assert_allclose(float(got.obj), float(ref.obj),
+                               rtol=1e-7, atol=1e-9)

@@ -1,5 +1,6 @@
 """Staged IPM vs the dense IPM oracle on stage-structured SOCPs."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -112,3 +113,17 @@ def test_no_equalities_at_all():
     res = solve_staged_ipm(prog, IPMSettings(iters=25))
     X = np.asarray(prog.extract(res.x, "x"))
     np.testing.assert_allclose(X, np.maximum(p_ref, 0.0), atol=1e-6)
+
+
+def test_kkt_dtype_f64_without_refine():
+    """kkt_dtype='float64' alone must not crash the while_loop carry
+    type check (advisor r04: the f64 factor's corrections promoted the
+    iterates mid-carry); it now implies f64 compute and converges."""
+    prog = _toy_tracking_program(K=5)
+    prog32 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "astype") else a, prog)
+    res = solve_staged_ipm(
+        prog32, IPMSettings(iters=25, kkt_dtype="float64"))
+    assert float(res.res_pri) < 1e-5
+    assert float(res.res_gap) < 1e-5

@@ -35,7 +35,7 @@ def data():
 
 def test_mul_inv(data):
     s, z, _ = data
-    mc = MonoCones(L, SOCS)
+    mc = MonoCones(L, SOCS, jnp.float64)
     bc = _BatchCones(K, L, SOCS)
     got = np.asarray(mc.mul(jnp.asarray(s), jnp.asarray(z)))
     want = np.stack([np.asarray(bc.mul(jnp.asarray(s[i]), jnp.asarray(z[i])))
@@ -49,7 +49,7 @@ def test_mul_inv(data):
 
 def test_min_shift_max_step(data):
     s, _, du = data
-    mc = MonoCones(L, SOCS)
+    mc = MonoCones(L, SOCS, jnp.float64)
     bc = _BatchCones(K, L, SOCS)
     u = s - 1.2  # make some entries exterior
     got = np.asarray(mc.min_shift(jnp.asarray(u)))[:, 0]
@@ -66,7 +66,7 @@ def test_min_shift_max_step(data):
 
 def test_nt_scaling_applies(data):
     s, z, du = data
-    mc = MonoCones(L, SOCS)
+    mc = MonoCones(L, SOCS, jnp.float64)
     bc = _BatchCones(K, L, SOCS)
     rep, lam = mc.nt_scaling(jnp.asarray(s), jnp.asarray(z))
     for i in range(B):
@@ -85,13 +85,17 @@ def test_nt_scaling_applies(data):
 
 
 def test_winv_rows(data):
+    """Row-wise W^{-1} G: slot-broadcast apply on transposed G equals
+    the unfused path's dense apply_Winv_rows."""
     s, z, _ = data
     rng = np.random.default_rng(1)
     Gf = rng.standard_normal((B * K, MC, 10))
-    mc = MonoCones(L, SOCS)
+    mc = MonoCones(L, SOCS, jnp.float64)
     bc = _BatchCones(K, L, SOCS)
     rep, _ = mc.nt_scaling(jnp.asarray(s), jnp.asarray(z))
-    got = np.asarray(mc.winv_rows(rep, jnp.asarray(Gf), B, K))
+    GT = jnp.swapaxes(jnp.asarray(Gf), 1, 2)           # (BK, 10, mc)
+    gotT = mc.apply_Winv(MonoCones.expand_rep(rep), GT)
+    got = np.asarray(jnp.swapaxes(gotT, 1, 2))
     for i in range(B):
         rep_b, _ = bc.nt_scaling(jnp.asarray(s[i]), jnp.asarray(z[i]))
         want = np.asarray(bc.apply_Winv_rows(
@@ -102,8 +106,8 @@ def test_winv_rows(data):
 
 def test_identity_rep(data):
     s, _, _ = data
-    mc = MonoCones(L, SOCS)
-    rep = mc.identity_rep(B, K, jnp.float64)
+    mc = MonoCones(L, SOCS, jnp.float64)
+    rep = mc.identity_rep(jnp.float64)
     v = jnp.asarray(s)
     np.testing.assert_allclose(np.asarray(mc.apply_W(rep, v)), s,
                                rtol=1e-12, atol=1e-12)

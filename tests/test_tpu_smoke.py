@@ -113,6 +113,47 @@ kref = soc_project_blocks_reference(jnp.asarray(blocks))
 out["pallas"] = float(jnp.max(jnp.abs(kout - kref)))
 assert out["pallas"] < 1e-5, out["pallas"]
 
+# --- 3b. fused CR solve COMPILED + kkt_fused end-to-end ---------------
+# (advisor r04: the interpreter-only coverage hid the exact r02 Mosaic
+# failure mode this kernel exists to avoid)
+from scpp_tpu.solver.cr_pallas import cr_pack, cr_solve_fused
+from scpp_tpu.solver.staged_kkt import cr_factor, cr_solve
+
+rngk = np.random.default_rng(3)
+Kk, pk, qk = 12, 8, 4
+wk = pk + qk
+Ak = rngk.standard_normal((Kk, wk, wk)).astype(np.float32)
+Dk = np.einsum("nij,nkj->nik", Ak, Ak) + 4 * np.eye(wk, dtype=np.float32)
+Dk[:, pk:, pk:] *= -1.0
+Dk[:, pk:, :pk] *= 0.3
+Dk[:, :pk, pk:] = np.swapaxes(Dk[:, pk:, :pk], 1, 2)
+Ok = (0.2 * rngk.standard_normal((Kk - 1, wk, wk))).astype(np.float32)
+bk = rngk.standard_normal((Kk, wk)).astype(np.float32)
+factk = cr_factor(jnp.asarray(Dk), jnp.asarray(Ok), pk)
+packedk, p_out = cr_pack(factk, Kk)
+x_fused = np.asarray(cr_solve_fused(packedk, jnp.asarray(bk), p_out,
+                                    False))          # compiled Mosaic
+x_ref = np.asarray(cr_solve(factk, jnp.asarray(bk)))
+out["cr_fused"] = float(np.abs(x_fused - x_ref).max())
+assert out["cr_fused"] < 1e-3, out["cr_fused"]
+
+res_kf = solve_staged_ipm(prog, s.replace(kkt_fused=True))
+out["kkt_fused"] = {"res_pri": float(res_kf.res_pri),
+                    "dx": float(jnp.max(jnp.abs(res_kf.x_stage
+                                                - res.x_stage)))}
+assert float(res_kf.res_pri) < 1e-3, out["kkt_fused"]
+
+# --- 3c. monolithic fused IPM COMPILED vs unfused ---------------------
+from scpp_tpu.solver.ipm_mono import mono_supported, solve_staged_ipm_mono
+assert mono_supported(prog, s)
+res_m = solve_staged_ipm_mono(prog, s)
+out["mono"] = {"res_pri": float(res_m.res_pri),
+               "res_gap": float(res_m.res_gap),
+               "dobj": abs(float(res_m.obj) - float(res.obj))}
+assert float(res_m.res_pri) < 1e-3, out["mono"]
+assert np.isfinite(float(res_m.res_gap)), out["mono"]
+assert out["mono"]["dobj"] < 1e-2 * (1 + abs(float(res.obj))), out["mono"]
+
 # --- 4. golden cost basin from the batched SC run above ---------------
 # (dispersed scale-1 initial states land within a few % of the stock
 # golden final time)
