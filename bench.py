@@ -51,14 +51,19 @@ def _machine_tag() -> str:
 # identical program re-executed by a later process loads in ~30 s, and a
 # never-before-seen variant still compiles locally in ~23 s. On
 # directly-attached TPUs the headline compile cost is therefore ~40 s.
-# The persistent compilation cache is OPT-IN (JAX_CACHE_DIR): it only
-# skips the ~36 s of local work, cannot skip the remote program load,
-# and XLA:CPU cache entries are machine-fragile (tests/conftest.py).
-if os.environ.get("JAX_CACHE_DIR"):
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_CACHE_DIR"])
+# The persistent compilation cache is DEFAULT-ON (VERDICT r04 #7),
+# keyed by machine so entries from a different host can't SIGILL on
+# load (tests/conftest.py); JAX_CACHE_DIR overrides the location and
+# JAX_CACHE_DIR="" disables it (for measuring cold compiles). It skips
+# the ~36 s of local work; the remote program load is not cacheable
+# from this side of the tunnel.
+_cache_dir = os.environ.get("JAX_CACHE_DIR",
+                            f"/tmp/jax_cache_{_machine_tag()}")
+CACHE_WARM = bool(_cache_dir) and os.path.isdir(_cache_dir) and \
+    bool(os.listdir(_cache_dir))
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-_ = _machine_tag  # kept for JAX_CACHE_DIR=auto users / diagnostics
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -401,6 +406,7 @@ def main():
         "compile_local_s": round(r["compile_trace_s"]
                                  + r["compile_xla_s"], 1),
         "first_exec_load_s": r["first_exec_load_s"],
+        "compile_cache_warm": CACHE_WARM,
         "max_residual": round(r["max_residual"], 8),
         "residual_final": (None if r["residual_final"] is None
                            else round(r["residual_final"], 8)),

@@ -107,6 +107,14 @@ class IPMSettings:
     # Falls back to interpreter mode off-TPU (tests) — enable in
     # TPU-facing configs only.
     kkt_fused: bool = struct.field(pytree_node=False, default=False)
+    # monolithic fused solve (staged backend): run the ENTIRE IPM —
+    # init, predictor-corrector loop, factorization, cone algebra, early
+    # exit — as one Pallas kernel per scenario sub-batch
+    # (solver/ipm_mono.py). Supersedes kkt_fused where supported
+    # (gm == 0 trajectory subproblems, full-precision fp32/f64 lanes);
+    # unsupported shapes fall back to the unfused path transparently.
+    # Off-TPU the kernel runs in interpreter mode (tests).
+    monolith: bool = struct.field(pytree_node=False, default=False)
 
 
 class _ConeOps:

@@ -55,7 +55,7 @@ _HI = jax.lax.Precision.HIGHEST
 # flagship scenario incl. CR factor planes; 32 fits comfortably in the
 # ~120 MB measured ceiling) while amortizing the latency-bound Cholesky
 # column recurrences across the sub-batch
-MONO_BSUB = 32
+MONO_BSUB = 16
 
 
 def mono_supported(prog: StagedProgram, settings: IPMSettings) -> bool:
@@ -79,21 +79,23 @@ def mono_supported(prog: StagedProgram, settings: IPMSettings) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _solve_block(statics, A, G, b_eq, h, c, d_eq, d_c, E_st, scal,
+def _solve_block(statics, AT, GT, b_eq, h, c, d_eq, d_c, E_st, scal,
                  warm_x, warm_y, warm_z):
     """One sub-batch's complete IPM solve.
 
-    statics: (K, w, me, l, soc_sizes, settings); tensors (B, K, ...) as
-    in the module docstring; ``scal`` (B, 4) = [pres_fac, dres_fac,
+    statics: (K, w, me, l, soc_sizes, settings); AT/GT are the
+    TRANSPOSED constraint blocks (B, K, 2w, me) / (B, K, 2w, mc) — the
+    cone dim in lanes so the row-wise W^{-1} application is the ordinary
+    slot-broadcast cone op; ``scal`` (B, 4) = [pres_fac, dres_fac,
     c_scale*b_scale, warm_ok].
     """
     K, w, me, l, soc_sizes, st = statics
-    B = A.shape[0]
-    dtype = A.dtype
+    B = AT.shape[0]
+    dtype = AT.dtype
     Wp = w + me
     mc = l + sum(soc_sizes)
-    cones = MonoCones(l, soc_sizes)
-    e_st = cones.e(dtype)                                     # (1,1,mc)
+    cones = MonoCones(l, soc_sizes, dtype)
+    e_st = cones.e                                            # (1,1,mc)
     nu_deg = max(K * cones.deg_per_stage, 1)
 
     eps = jnp.asarray(st.eps_reg, dtype)
@@ -107,9 +109,8 @@ def _solve_block(statics, A, G, b_eq, h, c, d_eq, d_c, E_st, scal,
     warm_ok = scal[:, 3:4] > 0.5                              # (B,1)
     warm3 = warm_ok[:, :, None]
 
-    Af = A.reshape(B * K, me, 2 * w)
-    Gf = G.reshape(B * K, mc, 2 * w)
-    Mf = jnp.concatenate([Af, Gf], axis=1)                    # (BK,me+mc,2w)
+    ATf = AT.reshape(B * K, 2 * w, me)
+    GTf = GT.reshape(B * K, 2 * w, mc)
 
     # ---- staged matvecs (mirror ipm_staged cat_x/uncat/AG_mv/AG_rmv) ----
 
@@ -125,36 +126,43 @@ def _solve_block(statics, A, G, b_eq, h, c, d_eq, d_c, E_st, scal,
         return xc[:, :, :w] + shift
 
     def AG_mv(x):
-        both = bmv(Mf, cat_x(x)).reshape(B, K, me + mc)
-        return both[:, :, :me], both[:, :, me:]
+        xc = cat_x(x)
+        return (bmv_t(ATf, xc).reshape(B, K, me),
+                bmv_t(GTf, xc).reshape(B, K, mc))
 
     def AG_rmv(y, z):
-        v = jnp.concatenate([y, z], axis=2).reshape(B * K, me + mc)
-        return uncat(bmv_t(Mf, v))
+        v = bmv(ATf, y.reshape(B * K, me)) \
+            + bmv(GTf, z.reshape(B * K, mc))
+        return uncat(v)
 
     def A_mv(x):
-        return bmv(Af, cat_x(x)).reshape(B, K, me)
+        return bmv_t(ATf, cat_x(x)).reshape(B, K, me)
 
     def G_mv(x):
-        return bmv(Gf, cat_x(x)).reshape(B, K, mc)
+        return bmv_t(GTf, cat_x(x)).reshape(B, K, mc)
 
     def sdot(a, b):
-        return jnp.sum(a * b, axis=(1, 2))[:, None]           # (B,1)
+        # two-step reductions: multi-axis reduces emit 1-D intermediates,
+        # which crash the Mosaic layout pass
+        return jnp.sum(jnp.sum(a * b, axis=2), axis=1, keepdims=True)
 
     def snorm2(t):
-        return jnp.sum(t * t, axis=(1, 2))[:, None]
+        return jnp.sum(jnp.sum(t * t, axis=2), axis=1, keepdims=True)
 
     # ---- KKT factor / solve (mirror _kkt_factor_impl, gm=0) ----
 
     I_w = jnp.eye(w, dtype=dtype)
     I_me = jnp.eye(me, dtype=dtype)
 
-    def kkt_factor(rep):
-        Gw = cones.winv_rows(rep, Gf, B, K)                   # (BK,mc,2w)
-        Gw = jnp.concatenate([Gw, sqrho * Af], axis=1)
+    def kkt_factor(rep_rows):
+        """rep_rows: scaling rep broadcastable over (B*K, 2w, mc)."""
+        GwT = cones.apply_Winv(rep_rows, GTf)                 # (BK,2w,mc)
         Gam = jax.lax.dot_general(
-            Gw, Gw, (((1,), (1,)), ((0,), (0,))),
+            GwT, GwT, (((2,), (2,)), ((0,), (0,))),
             precision=_HI, preferred_element_type=dtype)      # (BK,2w,2w)
+        Gam = Gam + rho * jax.lax.dot_general(
+            ATf, ATf, (((2,), (2,)), ((0,), (0,))),
+            precision=_HI, preferred_element_type=dtype)
         Hxx = Gam[:, :w, :w].reshape(B, K, w, w)
         Hnn = Gam[:, w:, w:].reshape(B, K, w, w)
         Hxn = Gam[:, w:, :w].reshape(B, K, w, w)
@@ -162,7 +170,7 @@ def _solve_block(statics, A, G, b_eq, h, c, d_eq, d_c, E_st, scal,
         Dxx = eps * I_w + Hxx
         Dxx = Dxx + jnp.concatenate(
             [jnp.zeros((B, 1, w, w), dtype), Hnn[:, :-1]], axis=1)
-        Dxy = jnp.swapaxes(A[:, :, :, :w], 2, 3)              # (B,K,w,me)
+        Dxy = AT[:, :, :w, :]                                 # (B,K,w,me)
         Dyy = jnp.broadcast_to(-delta * I_me, (B, K, me, me))
         D = jnp.concatenate([
             jnp.concatenate([Dxx, Dxy], axis=3),
@@ -170,7 +178,7 @@ def _solve_block(statics, A, G, b_eq, h, c, d_eq, d_c, E_st, scal,
             axis=2)                                           # (B,K,Wp,Wp)
 
         Oxx = Hxn[:, :-1]
-        Oxy = jnp.swapaxes(A[:, :-1, :, w:], 2, 3)            # (B,K-1,w,me)
+        Oxy = AT[:, :-1, w:, :]                               # (B,K-1,w,me)
         O = jnp.concatenate([
             jnp.concatenate([Oxx, Oxy], axis=3),
             jnp.zeros((B, K - 1, me, Wp), dtype)], axis=2)
@@ -198,8 +206,8 @@ def _solve_block(statics, A, G, b_eq, h, c, d_eq, d_c, E_st, scal,
 
     # ---- initialization (mirror the conelp-style init) ----
 
-    rep0 = cones.identity_rep(B, K, dtype)
-    fact0 = kkt_factor(rep0)
+    rep0 = cones.identity_rep(dtype)       # (1,1,mc): broadcasts both
+    fact0 = kkt_factor(rep0)               # over rows and over (B,K)
     init_refine = 0                                # kkt_precision="highest"
     zeros_w = jnp.zeros((B, K, w), dtype)
     zeros_me = jnp.zeros((B, K, me), dtype)
@@ -246,7 +254,8 @@ def _solve_block(statics, A, G, b_eq, h, c, d_eq, d_c, E_st, scal,
         if st.kkt_precision != "highest" else st.refine_steps
 
     def sfinite(t):
-        return jnp.all(jnp.isfinite(t), axis=(1, 2))[:, None]
+        return jnp.all(jnp.all(jnp.isfinite(t), axis=2), axis=1,
+                       keepdims=True)
 
     def body(carry):
         x, y, s, z, done, bx, by_, bs, bz, bscore, it = carry
@@ -255,7 +264,7 @@ def _solve_block(statics, A, G, b_eq, h, c, d_eq, d_c, E_st, scal,
         mu = gap / nu_deg
 
         rep, lam = cones.nt_scaling(s, z)
-        fact = kkt_factor(rep)
+        fact = kkt_factor(MonoCones.expand_rep(rep))
         lam_lam = cones.mul(lam, lam)
         lam_inv = cones.inv(lam)
 
@@ -299,9 +308,13 @@ def _solve_block(statics, A, G, b_eq, h, c, d_eq, d_c, E_st, scal,
         bz = jnp.where(better, z, bz)
         bscore = jnp.minimum(score, bscore)
 
+        # ``done`` is carried as 0/1 float: Mosaic cannot yield i1
+        # vectors from scf.while
         finite = sfinite(x_n) & sfinite(s_n) & sfinite(z_n)
-        done_n = done | conv | jnp.logical_not(finite)
-        keep = (jnp.logical_not(done) & finite)[:, :, None]
+        active = done < 0.5
+        done_n = jnp.where(active & conv, 1.0,
+                           jnp.where(finite, done, 1.0))
+        keep = (active & finite)[:, :, None]
 
         x = jnp.where(keep, x_n, x)
         y = jnp.where(keep, y_n, y)
@@ -310,12 +323,12 @@ def _solve_block(statics, A, G, b_eq, h, c, d_eq, d_c, E_st, scal,
         return (x, y, s, z, done_n, bx, by_, bs, bz, bscore, it + 1)
 
     inf_score = jnp.full((B, 1), jnp.inf, dtype)
-    carry0 = (x0, y0, s0, z0, jnp.zeros((B, 1), bool),
+    carry0 = (x0, y0, s0, z0, jnp.zeros((B, 1), dtype),
               x0, y0, s0, z0, inf_score, jnp.asarray(0, jnp.int32))
 
     def w_cond(carry):
         done, it = carry[4], carry[10]
-        return (it < st.iters) & jnp.logical_not(jnp.all(done))
+        return (it < st.iters) & (jnp.min(done) < 0.5)
 
     x_f, y_f, s_f, z_f, _, bx, by_, bs, bz, bscore, it_f = \
         jax.lax.while_loop(w_cond, body, carry0)
@@ -367,7 +380,7 @@ def _mono_pallas(statics, bsub: int, interpret: bool, *args):
                             lambda i, _nd=nd: (i,) + (0,) * _nd,
                             memory_space=pltpu.VMEM)
 
-    in_shapes = [(K, me, 2 * w), (K, mc, 2 * w), (K, me), (K, mc), (K, w),
+    in_shapes = [(K, 2 * w, me), (K, 2 * w, mc), (K, me), (K, mc), (K, w),
                  (K, me), (K, mc), (K, w), (4,), (K, w), (K, me), (K, mc)]
     out_shapes = [(K, w), (K, me), (K, mc), (K, mc), (4,)]
     return pl.pallas_call(
@@ -431,7 +444,9 @@ def _prep(prog: StagedProgram, settings: IPMSettings, warm_x, warm_y,
     scal = jnp.stack([pres_fac, dres_fac, c_scale * b_scale,
                       jnp.where(warm_ok, 1.0, 0.0).astype(dtype)])
     scales = (E_st, d_eq, d_c, c_scale, b_scale, bnorm_o, cnorm_o)
-    return (A_eq, G, b_eq, h, c_st, d_eq, d_c, E_st, scal, wx, wy, wz), \
+    AT = jnp.swapaxes(A_eq, -1, -2)
+    GT = jnp.swapaxes(G, -1, -2)
+    return (AT, GT, b_eq, h, c_st, d_eq, d_c, E_st, scal, wx, wy, wz), \
         scales
 
 

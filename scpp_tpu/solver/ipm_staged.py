@@ -405,7 +405,6 @@ def _soc_offs(l, soc_sizes):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(1,))
 def solve_staged_ipm(prog: StagedProgram,
                      settings: IPMSettings = IPMSettings(),
                      warm: StagedSolverResult = None,
@@ -419,7 +418,23 @@ def solve_staged_ipm(prog: StagedProgram,
     shifted into the cone interior by ``settings.warm_kappa`` instead of
     the cold init's unit margin. ``warm_ok`` (traced bool) selects warm
     vs cold per call so a vmapped batch can mix both (first SCvx step,
-    or a failed previous solve)."""
+    or a failed previous solve).
+
+    ``settings.monolith`` routes supported shapes (gm == 0 trajectory
+    subproblems, full-precision lanes) to the fused whole-solve Pallas
+    kernel (solver/ipm_mono.py); everything else stays here."""
+    if settings.monolith:
+        from scpp_tpu.solver.ipm_mono import (mono_supported,
+                                              solve_staged_ipm_mono)
+        if mono_supported(prog, settings):
+            return solve_staged_ipm_mono(prog, settings, warm, warm_ok)
+    return _solve_unfused(prog, settings, warm, warm_ok)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _solve_unfused(prog: StagedProgram, settings: IPMSettings,
+                   warm: StagedSolverResult = None,
+                   warm_ok=False) -> StagedSolverResult:
     with jax.default_matmul_precision(settings.matmul_precision):
         return _solve_impl(prog, settings, warm, warm_ok)
 

@@ -78,36 +78,47 @@ def _onehot(j, n, dtype):
 
 
 def chol8(P):
-    """Batched Cholesky of SPD (n, 8, 8) blocks, statically unrolled.
+    """Batched Cholesky of SPD (n, 8, 8) blocks.
 
-    Right-looking with full-matrix rank-1 updates; column masks keep the
-    strictly-upper garbage out of L. ~8 x 5 Mosaic ops, latency-bound
-    (~2-3 us at n=240 on v5e regardless of batch)."""
-    n = P.shape[0]
+    Right-looking column recurrence as a fori_loop with MASK-based
+    column extraction (iota == j with a traced j): the statically
+    unrolled form multiplied Mosaic compile time by the number of call
+    sites x columns and pushed the whole-solve kernel past a 15-minute
+    compile. All "indexing" is comparisons + masked reductions, so the
+    loop body is ~8 vector ops compiled once per call site."""
     dtype = P.dtype
-    L = jnp.zeros_like(P)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)       # (1, 8)
-    for j in range(8):
-        t = jnp.maximum(P[:, j, j], 1e-30)
-        rs = jax.lax.rsqrt(t)
-        ell = jnp.where(col >= j, P[:, :, j], 0.0) * rs[:, None]  # (n, 8)
+
+    def step(j, PL):
+        P, L = PL
+        ohc = (col == j).astype(dtype)                         # (1, 8)
+        colv = jnp.sum(P * ohc[:, None, :], axis=2)            # P[:, :, j]
+        t = jnp.maximum(jnp.sum(colv * ohc, axis=1, keepdims=True),
+                        1e-30)                                 # P[:, j, j]
+        ell = jnp.where(col >= j, colv, 0.0) * jax.lax.rsqrt(t)
         P = P - ell[:, :, None] * ell[:, None, :]
-        L = L + ell[:, :, None] * _onehot(j, 8, dtype)[:, None, :]
+        L = L + ell[:, :, None] * ohc[:, None, :]
+        return (P, L)
+
+    _, L = jax.lax.fori_loop(0, 8, step, (P, jnp.zeros_like(P)))
     return L
 
 
 def tri_inv8(L):
-    """Batched inverse of lower-triangular (n, 8, 8), statically unrolled
-    row recurrence: row_j(X) = (e_j - L[j,:] X) / L[j,j]."""
-    n = L.shape[0]
+    """Batched inverse of lower-triangular (n, 8, 8); mask-based row
+    recurrence row_j(X) = (e_j - L[j,:] X) / L[j,j] (see chol8)."""
     dtype = L.dtype
-    X = jnp.zeros_like(L)
-    for j in range(8):
-        s = jnp.sum(L[:, j, :, None] * X, axis=1)              # (n, 8)
-        r = (_onehot(j, 8, dtype) - s) / L[:, j, j][:, None]
-        # write row j of X: one-hot column mask (scatter is unsupported)
-        X = X + r[:, None, :] * _onehot(j, 8, dtype)[:, :, None]
-    return X
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)       # (1, 8)
+
+    def step(j, X):
+        ohc = (col == j).astype(dtype)
+        Lrow = jnp.sum(L * ohc[:, :, None], axis=1)            # L[:, j, :]
+        s = jnp.sum(Lrow[:, :, None] * X, axis=1)              # (n, 8)
+        diag = jnp.sum(Lrow * ohc, axis=1, keepdims=True)
+        r = (ohc - s) / diag
+        return X + r[:, None, :] * ohc[:, :, None]
+
+    return jax.lax.fori_loop(0, 8, step, jnp.zeros_like(L))
 
 
 def signed_chol_panels(M, p: int, panel: int = 8):
@@ -247,6 +258,8 @@ def _interleave(ev, od, n: int):
 def _shift_down1(x):
     """(B, n, ...) -> same with entry i holding x[i-1] (x[-1] dropped,
     slot 0 zero): the Mosaic-safe form of .at[1:].add's alignment."""
+    if x.shape[1] == 1:
+        return jnp.zeros_like(x)           # 0-sized slices break Mosaic
     B = x.shape[0]
     z = jnp.zeros((B, 1) + x.shape[2:], x.dtype)
     return jnp.concatenate([z, x[:, :-1]], axis=1)
@@ -280,7 +293,7 @@ def mono_cr_factor(D, O, p: int):
     """
     B, K, w, _ = D.shape
     dtype = D.dtype
-    sig = _sig_row(w, p, dtype)[0]                             # (w,)
+    sig = _sig_row(w, p, dtype)                                # (1, w)
     levels = []
     n = K
     while n > 1:
@@ -297,19 +310,20 @@ def mono_cr_factor(D, O, p: int):
         Q = bdot(Linv, _flat(O_rt), tb=True)
         # Schur updates: D_even[:n_odd] -= R' S R; D_even[1:] -= (Q' S Q)
         # sandwich X' S Y contracts the ROW dim (staged_kkt._sandwich)
+        sig3 = sig[:, :, None]                                 # (1, w, 1)
         StR = _unflat(jax.lax.dot_general(
-            R * sig[None, :, None], R, (((1,), (1,)), ((0,), (0,))),
+            R * sig3, R, (((1,), (1,)), ((0,), (0,))),
             precision=_HI, preferred_element_type=dtype), B)
         StQ = _unflat(jax.lax.dot_general(
-            Q * sig[None, :, None], Q, (((1,), (1,)), ((0,), (0,))),
+            Q * sig3, Q, (((1,), (1,)), ((0,), (0,))),
             precision=_HI, preferred_element_type=dtype), B)
         StQR = _unflat(jax.lax.dot_general(
-            Q * sig[None, :, None], R, (((1,), (1,)), ((0,), (0,))),
+            Q * sig3, R, (((1,), (1,)), ((0,), (0,))),
             precision=_HI, preferred_element_type=dtype), B)
         D_even = D_even - _pad_tail(StR, n_even)
         D_even = D_even - _shift_down1(_pad_tail(StQ, n_even))
-        O_even = -StQR[:, :n_even - 1] if n_even > 1 else \
-            jnp.zeros((B, 0, w, w), dtype)
+        # n_even == 1 ends the recursion; never materialize a 0-sized O
+        O_even = -StQR[:, :n_even - 1] if n_even > 1 else None
 
         levels.append((_unflat(Linv, B), _unflat(R, B), _unflat(Q, B)))
         D, O, n = D_even, O_even, n_even
@@ -345,7 +359,7 @@ def mono_cr_solve(fact, b, p: int):
         b, n = b_even, n_even
 
     # root: x = Linv_root' (sig * (Linv_root b))
-    u = jnp.sum(Linv_root * b[:, 0][:, None, :], axis=2)       # (B, w)
+    u = jnp.sum(Linv_root * b[:, 0:1, :], axis=2)              # (B, w)
     x0 = jnp.sum(Linv_root * (sig * u)[:, :, None], axis=1)    # (B, w)
     x = x0[:, None, :]
 

@@ -1,256 +1,212 @@
-"""Structured Jordan-algebra / NT-scaling ops for the monolithic kernel.
+"""Slot-broadcast Jordan-algebra / NT-scaling ops for the monolithic kernel.
 
-Mirrors solver/ipm_staged._BatchCones numerically, re-laid-out for
-Mosaic: tensors are (B, K, mc) (B scenarios — every reduction that the
-vmapped unfused path performs per scenario is explicit here), SOC blocks
-are gathered with *static per-cone lane slices* (no index-array gathers,
-unsupported on TPU), and the NT scaling is kept in STRUCTURED form
-(linear diag + per-cone rank-1 vectors) instead of the unfused path's
-dense (mc, mc) W matrices — dense W at batch 64 x 30 stages would not
-fit VMEM and is unnecessary: every apply is O(q) elementwise work.
+Mirrors solver/ipm_staged._BatchCones numerically, re-designed for what
+Mosaic TPU actually lowers: every cone tensor stays in the flat
+``(..., mc)`` lane layout end-to-end (no gathered (S, qmax) blocks —
+stacking differently-offset lane slices and lane-split reshapes are both
+unsupported), and the only non-elementwise primitive is ``seg``: the
+same-cone sum broadcast, computed as one matmul against a 0/1 indicator
+matrix built from broadcasted_iota (pallas kernels may not capture
+numpy constants).
 
-Padding convention matches _BatchCones: the padded tail slots of every
-(B, K, S, qmax) block read zero, so reductions only ever add zeros.
+Per-cone quantities (determinants, NT vectors, step-length roots) are
+therefore *slot-broadcast*: stored at every lane of their cone. The
+algebra is identical to the padded-block form — a cone's head value is
+``hb(v) = seg(v * head)``, its tail norm is ``seg(v^2 * tail)``, etc.
+
+All ops accept any leading shape ``(..., mc)``; the IPM uses (B, K, mc)
+for iterates and (B*K, 2w, mc) for the row-wise W^{-1} G application
+(the scaling rep broadcast over the row axis), which replaces the
+unfused path's dense (mc, mc) scaling matrices entirely.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["MonoCones"]
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 class MonoCones:
-    """Static cone layout [nonneg (l) | SOC q_1 | ... | SOC q_S]."""
+    """Static cone layout [nonneg (l) | SOC q_1 | ... | SOC q_S].
 
-    def __init__(self, l: int, soc_sizes):
+    Construct INSIDE the kernel (or trace) that uses it: the masks are
+    jnp values built from iota at construction.
+    """
+
+    def __init__(self, l: int, soc_sizes, dtype=jnp.float32):
         self.l = int(l)
         self.soc_sizes = tuple(int(q) for q in soc_sizes)
         self.mc = self.l + sum(self.soc_sizes)
         self.S = len(self.soc_sizes)
-        self.qmax = max(self.soc_sizes) if self.soc_sizes else 0
         offs, off = [], self.l
         for q in self.soc_sizes:
             offs.append(off)
             off += q
         self.soc_offs = tuple(offs)
         self.deg_per_stage = self.l + self.S
+        self.dtype = dtype
 
-    # constants are built from broadcasted_iota, NOT captured numpy
-    # arrays: pallas_call rejects captured constants in kernel bodies
+        mc = self.mc
+        i_row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, mc), 2)
+        one = jnp.ones((1, 1, mc), dtype)
+        zero = jnp.zeros((1, 1, mc), dtype)
+        self.lin = jnp.where(i_row < self.l, one, zero)
+        self.soc = 1.0 - self.lin
+        head = zero
+        for o in self.soc_offs:
+            head = jnp.where(i_row == o, one, head)
+        self.head = head
+        self.tail = self.soc - head
+        self.J = self.lin + head - self.tail   # +1 lin/head, -1 tails
+        self.e = self.lin + head               # cone identity element
 
-    def _head(self, dtype):
-        """(1, 1, 1, qmax) indicator of the SOC head slot."""
-        i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, self.qmax), 3)
-        return (i == 0).astype(dtype)
+        # cone id per slot (0 for all linear slots, 1..S for SOCs) and
+        # the same-cone indicator csum[i, j] = [cone(i) == cone(j) >= 1]
+        cid = jnp.zeros((1, 1, mc), jnp.int32)
+        for o in self.soc_offs:
+            cid = cid + (i_row >= o).astype(jnp.int32)
+        ci = cid.reshape(mc, 1)
+        cj = cid.reshape(1, mc)
+        soc_i = self.soc.reshape(mc, 1)
+        self.csum = ((ci == cj).astype(dtype)
+                     * soc_i * self.soc.reshape(1, mc))       # (mc, mc)
 
-    def _jrow(self, dtype):
-        """Reflection J = diag(1, -1, ...) as a broadcastable row."""
-        i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, self.qmax), 3)
-        return jnp.where(i == 0, 1.0, -1.0).astype(dtype)
+    # ---- primitives ----
 
-    def e(self, dtype):
-        """Cone identity element, (1, 1, mc)."""
-        lin = jnp.ones((1, 1, self.l), dtype)
-        if not self.S:
-            return lin
-        head = jnp.broadcast_to(self._head(dtype),
-                                (1, 1, self.S, self.qmax))
-        return self.scatter(lin, head)
+    def seg(self, v):
+        """Same-cone sum broadcast over the last axis (soc slots only)."""
+        mc = self.mc
+        flat = v.reshape(-1, mc)
+        out = jnp.dot(flat, self.csum, precision=_HI,
+                      preferred_element_type=v.dtype)
+        return out.reshape(v.shape)
 
-    # ---- layout ----
+    def hb(self, v):
+        """Every slot reads its cone's head value."""
+        return self.seg(v * self.head)
 
-    def gather(self, u):
-        """(B, K, mc) -> (B, K, S, qmax); pad slots read zero."""
-        B, K = u.shape[:2]
-        blocks = []
-        for o, q in zip(self.soc_offs, self.soc_sizes):
-            blk = u[:, :, o:o + q]
-            if q < self.qmax:
-                blk = jnp.concatenate(
-                    [blk, jnp.zeros((B, K, self.qmax - q), u.dtype)],
-                    axis=2)
-            blocks.append(blk)
-        return jnp.stack(blocks, axis=2)
+    @staticmethod
+    def _safe(cond, d):
+        """Denominator guard: 1 where the branch is not taken (a where
+        AFTER the division would still propagate the untaken-branch
+        inf/nan)."""
+        return jnp.where(cond > 0.5, d, 1.0)
 
-    def scatter(self, lin, vals):
-        """linear part (B, K, l) + SOC blocks (B, K, S, qmax) -> (B,K,mc)."""
-        parts = [] if self.l == 0 else [lin]
-        for i, q in enumerate(self.soc_sizes):
-            parts.append(vals[:, :, i, :q])
-        return jnp.concatenate(parts, axis=2)
-
-    # ---- Jordan algebra (mirrors _BatchCones formulas) ----
+    # ---- Jordan algebra (mirrors _BatchCones) ----
 
     def mul(self, u, v):
-        lin = u[:, :, :self.l] * v[:, :, :self.l]
-        if not self.S:
-            return lin
-        ub, vb = self.gather(u), self.gather(v)
-        head = jnp.sum(ub * vb, axis=3, keepdims=True)
-        tail = ub[..., :1] * vb[..., 1:] + vb[..., :1] * ub[..., 1:]
-        return self.scatter(lin, jnp.concatenate([head, tail], axis=3))
+        prod_lin = u * v
+        s = self.seg(self.soc * u * v)
+        t = self.hb(u) * v + self.hb(v) * u
+        return (self.lin * prod_lin + self.head * s + self.tail * t)
+
+    def det(self, u):
+        """Per-cone det u0^2 - ||u_tail||^2, slot-broadcast."""
+        return self.seg(self.soc * self.J * u * u)
 
     def inv(self, u):
-        lin = 1.0 / u[:, :, :self.l] if self.l else u[:, :, :0]
-        if not self.S:
-            return lin
-        ub = self.gather(u)
-        det = ub[..., 0] ** 2 - jnp.sum(ub[..., 1:] ** 2, axis=3)
-        Ju = jnp.concatenate([ub[..., :1], -ub[..., 1:]], axis=3)
-        return self.scatter(lin, Ju / det[..., None])
+        d = self._safe(self.soc, self.det(u))
+        u_lin = self._safe(self.lin, u)
+        return jnp.where(self.lin > 0.5, 1.0 / u_lin, self.J * u / d)
 
     def min_shift(self, u):
-        """Per-scenario max over stages/cones of the interiority defect:
-        (B, K, mc) -> (B, 1)."""
-        B = u.shape[0]
-        parts = [jnp.full((B, 1), -jnp.inf, u.dtype)]
-        if self.l:
-            parts.append(jnp.max(-u[:, :, :self.l], axis=(1, 2))[:, None])
-        if self.S:
-            ub = self.gather(u)
-            d = jnp.sqrt(jnp.sum(ub[..., 1:] ** 2, axis=3)) - ub[..., 0]
-            parts.append(jnp.max(d, axis=(1, 2))[:, None])
-        return jnp.max(jnp.concatenate(parts, axis=1), axis=1)[:, None]
+        """(B, K, mc) -> (B, 1) per-scenario interiority defect max."""
+        tail_n = jnp.sqrt(jnp.maximum(self.seg(self.tail * u * u), 0.0))
+        d_soc = tail_n - self.hb(u)
+        val = jnp.where(self.lin > 0.5, -u,
+                        jnp.where(self.soc > 0.5, d_soc, -jnp.inf))
+        return jnp.max(jnp.max(val, axis=2), axis=1, keepdims=True)
 
     def max_step(self, u, du):
-        """Per-scenario boundary step (B, 1); mirrors _BatchCones.max_step."""
-        B = u.shape[0]
+        """(B, K, mc) x2 -> (B, 1); mirrors _BatchCones.max_step."""
         dtype = u.dtype
         big = jnp.asarray(1e20, dtype)
-        alphas = [jnp.full((B, 1), 1e20, dtype)]
-        if self.l:
-            un, dn = u[:, :, :self.l], du[:, :, :self.l]
-            a = jnp.where(dn < 0, -un / jnp.where(dn < 0, dn, -1.0), big)
-            alphas.append(jnp.min(a, axis=(1, 2))[:, None])
-        if self.S:
-            ub, db = self.gather(u), self.gather(du)
-            a2 = db[..., 0] ** 2 - jnp.sum(db[..., 1:] ** 2, axis=3)
-            b2 = (ub[..., 0] * db[..., 0]
-                  - jnp.sum(ub[..., 1:] * db[..., 1:], axis=3))
-            c2 = ub[..., 0] ** 2 - jnp.sum(ub[..., 1:] ** 2, axis=3)
-            disc = b2 ** 2 - a2 * c2
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            root_neg_a = (b2 + sq) / jnp.maximum(-a2, 1e-30)
-            root_pos_a = jnp.where(
-                (disc > 0) & (b2 < 0),
-                c2 / jnp.maximum(-b2 + sq, 1e-30), big)
-            lin_r = jnp.where(
-                b2 < 0, -c2 / (2.0 * jnp.where(b2 < 0, b2, -1.0)), big)
-            a_soc = jnp.where(a2 < -1e-30, root_neg_a,
-                              jnp.where(a2 > 1e-30, root_pos_a, lin_r))
-            head_cap = jnp.where(
-                db[..., 0] < 0,
-                -ub[..., 0] / jnp.where(db[..., 0] < 0, db[..., 0], -1.0),
-                big)
-            a_all = jnp.minimum(a_soc, head_cap)
-            alphas.append(jnp.min(a_all, axis=(1, 2))[:, None])
-        return jnp.min(jnp.concatenate(alphas, axis=1), axis=1)[:, None]
+        # linear slots
+        a_lin = jnp.where(du < 0,
+                          -u / jnp.where(du < 0, du, -1.0), big)
+        # SOC slots (slot-broadcast per-cone quadratic roots)
+        a2 = self.seg(self.soc * self.J * du * du)
+        b2 = self.seg(self.soc * self.J * u * du)
+        c2 = self.det(u)
+        disc = b2 ** 2 - a2 * c2
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        root_neg_a = (b2 + sq) / jnp.maximum(-a2, 1e-30)
+        root_pos_a = jnp.where((disc > 0) & (b2 < 0),
+                               c2 / jnp.maximum(-b2 + sq, 1e-30), big)
+        lin_r = jnp.where(b2 < 0,
+                          -c2 / (2.0 * jnp.where(b2 < 0, b2, -1.0)), big)
+        a_soc = jnp.where(a2 < -1e-30, root_neg_a,
+                          jnp.where(a2 > 1e-30, root_pos_a, lin_r))
+        u0, du0 = self.hb(u), self.hb(du)
+        head_cap = jnp.where(du0 < 0,
+                             -u0 / jnp.where(du0 < 0, du0, -1.0), big)
+        val = jnp.where(self.lin > 0.5, a_lin,
+                        jnp.where(self.soc > 0.5,
+                                  jnp.minimum(a_soc, head_cap), big))
+        m = jnp.min(jnp.min(val, axis=2), axis=1, keepdims=True)
+        return jnp.minimum(m, big)
 
-    # ---- NT scaling (structured) ----
+    # ---- NT scaling (slot-broadcast structured rep) ----
 
     def nt_scaling(self, s, z):
-        """Scaling point of (s, z), both (B, K, mc).
+        """Returns (rep, lam); rep = {d, u, detu} all (..., mc)
+        slot-broadcast (d meaningful on linear slots, u/detu on SOCs)."""
+        lin, soc, head, J = self.lin, self.soc, self.head, self.J
+        dets = jnp.maximum(self.det(s), 1e-30)
+        detz = jnp.maximum(self.det(z), 1e-30)
+        sbar = s / jnp.sqrt(self._safe(soc, dets))
+        zbar = z / jnp.sqrt(self._safe(soc, detz))
+        szdot = self.seg(soc * sbar * zbar)
+        gamma = jnp.sqrt(jnp.maximum((1.0 + szdot) / 2.0, 1e-30))
+        wbar = (sbar + J * zbar) / (2.0 * gamma)
+        eta = (dets / detz) ** 0.25
+        wv = eta * wbar
+        detw = jnp.maximum(self.det(wv), 1e-30)
+        sqrt_detw = jnp.sqrt(detw)
+        wv0 = self.hb(wv)
+        denom = jnp.sqrt(jnp.maximum(2.0 * (wv0 + sqrt_detw), 1e-30))
+        u = (wv + sqrt_detw * head) / self._safe(soc, denom)
 
-        Returns (rep, lam): rep = dict with
-          d     (B, K, l)        linear scalings sqrt(s/z)
-          u     (B, K, S, qmax)  SOC scaling vectors (W = 2uu' - detu*J)
-          detu  (B, K, S)
-        """
-        dtype = s.dtype
-        rep = {}
-        lam_lin = s[:, :, :0]
-        if self.l:
-            sn, zn = s[:, :, :self.l], z[:, :, :self.l]
-            rep["d"] = jnp.sqrt(sn / zn)
-            lam_lin = jnp.sqrt(sn * zn)
-        if self.S:
-            sb, zb = self.gather(s), self.gather(z)
-            Jrow = self._jrow(dtype)
-            det_s = jnp.maximum(
-                sb[..., 0] ** 2 - jnp.sum(sb[..., 1:] ** 2, 3), 1e-30)
-            det_z = jnp.maximum(
-                zb[..., 0] ** 2 - jnp.sum(zb[..., 1:] ** 2, 3), 1e-30)
-            sbar = sb / jnp.sqrt(det_s)[..., None]
-            zbar = zb / jnp.sqrt(det_z)[..., None]
-            gamma = jnp.sqrt(jnp.maximum(
-                (1.0 + jnp.sum(sbar * zbar, 3)) / 2.0, 1e-30))
-            wbar = (sbar + zbar * Jrow) / (2.0 * gamma[..., None])
-            eta = (det_s / det_z) ** 0.25
-            wv = eta[..., None] * wbar
-            detw = jnp.maximum(
-                wv[..., 0] ** 2 - jnp.sum(wv[..., 1:] ** 2, 3), 1e-30)
-            sqrt_detw = jnp.sqrt(detw)
-            head = self._head(dtype)
-            u = (wv + sqrt_detw[..., None] * head) / jnp.sqrt(
-                2.0 * (wv[..., 0] + sqrt_detw))[..., None]
-            rep["u"] = u
-            rep["detu"] = sqrt_detw
-            lam_soc = self._apply_soc(u, sqrt_detw, zb)
-            lam = self.scatter(lam_lin, lam_soc)
-        else:
-            lam = lam_lin
+        z_lin = self._safe(lin, z)
+        d = jnp.sqrt(jnp.maximum(s * z_lin, 0.0)) / z_lin   # sqrt(s/z)
+        rep = {"d": d, "u": u, "detu": sqrt_detw}
+        lam_lin = jnp.sqrt(jnp.maximum(s * z, 0.0))
+        lam_soc = 2.0 * u * self.seg(soc * u * z) - sqrt_detw * (J * z)
+        lam = jnp.where(lin > 0.5, lam_lin, lam_soc)
         return rep, lam
 
-    def identity_rep(self, B, K, dtype):
-        rep = {}
-        if self.l:
-            rep["d"] = jnp.ones((B, K, self.l), dtype)
-        if self.S:
-            # W = I: u = e0 (head 1, tail 0), detu = 1 => 2uu' - J = I
-            rep["u"] = jnp.broadcast_to(self._head(dtype),
-                                        (B, K, self.S, self.qmax))
-            rep["detu"] = jnp.ones((B, K, self.S), dtype)
-        return rep
-
-    def _apply_soc(self, u, detu, vb):
-        """(2 u u' - detu J) vb on gathered blocks (B, K, S, qmax)."""
-        uv = jnp.sum(u * vb, axis=3, keepdims=True)
-        Jv = jnp.concatenate([vb[..., :1], -vb[..., 1:]], axis=3)
-        return 2.0 * u * uv - detu[..., None] * Jv
-
-    def _uinv(self, rep):
-        Jrow = self._jrow(rep["u"].dtype)
-        return (rep["u"] * Jrow) / rep["detu"][..., None]
+    def identity_rep(self, dtype):
+        return {"d": jnp.ones((1, 1, self.mc), dtype),
+                "u": self.head.astype(dtype),
+                "detu": jnp.ones((1, 1, self.mc), dtype)}
 
     def apply_W(self, rep, v):
-        lin = rep["d"] * v[:, :, :self.l] if self.l else v[:, :, :0]
-        if not self.S:
-            return lin
-        return self.scatter(
-            lin, self._apply_soc(rep["u"], rep["detu"], self.gather(v)))
+        soc, lin, J = self.soc, self.lin, self.J
+        w_soc = (2.0 * rep["u"] * self.seg(soc * rep["u"] * v)
+                 - rep["detu"] * (J * v))
+        return jnp.where(lin > 0.5, rep["d"] * v, w_soc)
 
     def apply_Winv(self, rep, v):
-        lin = v[:, :, :self.l] / rep["d"] if self.l else v[:, :, :0]
-        if not self.S:
-            return lin
-        return self.scatter(
-            lin, self._apply_soc(self._uinv(rep), 1.0 / rep["detu"],
-                                 self.gather(v)))
+        soc, lin, J = self.soc, self.lin, self.J
+        detu = self._safe(soc, rep["detu"])
+        uinv = J * rep["u"] / detu
+        w_soc = (2.0 * uinv * self.seg(soc * uinv * v)
+                 - (J * v) / detu)
+        d = self._safe(lin, rep["d"])
+        return jnp.where(lin > 0.5, v / d, w_soc)
 
     def apply_Winv2(self, rep, v):
         return self.apply_Winv(rep, self.apply_Winv(rep, v))
 
-    def winv_rows(self, rep, Gf, B: int, K: int):
-        """W^{-1} applied to the mc ROWS of G: Gf (B*K, mc, C).
-
-        The structured form of _BatchCones.apply_Winv_rows: linear rows
-        scale by 1/d; each SOC row block gets (2 uinv uinv' - (1/detu) J).
-        """
-        C = Gf.shape[-1]
-        parts = []
-        if self.l:
-            dinv = (1.0 / rep["d"]).reshape(B * K, self.l, 1)
-            parts.append(Gf[:, :self.l, :] * dinv)
-        if self.S:
-            uinv = self._uinv(rep)
-            for i, (o, q) in enumerate(zip(self.soc_offs, self.soc_sizes)):
-                Gc = Gf[:, o:o + q, :]
-                ui = uinv[:, :, i, :q].reshape(B * K, q, 1)
-                di = rep["detu"][:, :, i].reshape(B * K, 1, 1)
-                t = jnp.sum(ui * Gc, axis=1, keepdims=True)   # (BK,1,C)
-                JG = jnp.concatenate([Gc[:, :1, :], -Gc[:, 1:, :]], axis=1)
-                parts.append(2.0 * ui * t - JG / di)
-        return jnp.concatenate(parts, axis=1)
+    @staticmethod
+    def expand_rep(rep):
+        """(B, K, mc) rep -> (B*K, 1, mc) for row-wise application on
+        (B*K, rows, mc) tensors."""
+        def ex(t):
+            B, K, mc = t.shape
+            return t.reshape(B * K, 1, mc)
+        return {k: ex(v) for k, v in rep.items()}

@@ -102,3 +102,30 @@ def test_mono_warm_start():
     np.testing.assert_allclose(float(warm.obj), float(ref.obj),
                                rtol=1e-6, atol=1e-8)
     assert float(warm.res_pri) < 1e-7
+
+
+def test_scvx_monolith_end_to_end():
+    """solve_scvx with IPMSettings(monolith=True) routes through the
+    fused kernel (interpreter off-TPU) and lands on the same trajectory
+    class as the unfused path: both converge, costs agree loosely (the
+    accept/reject cascade is reassociation-sensitive; answer-quality
+    parity is cost-level, see test_goldens drift note)."""
+    from scpp_tpu.algos.scvx import solve_scvx
+    from scpp_tpu.configs.algorithms import SCvxConfig
+    from scpp_tpu.models import Rocket2D
+
+    import dataclasses
+
+    p = Rocket2D.default_params().replace(final_time=jnp.asarray(16.0))
+    base = SCvxConfig(K=10, max_iterations=6, solve_budget=8,
+                      nondimensionalize=True,
+                      solver=IPMSettings(iters=20))
+    ref = solve_scvx(Rocket2D, p, base)
+    mono = solve_scvx(Rocket2D, p, dataclasses.replace(
+        base, solver=base.solver.replace(monolith=True)))
+    assert bool(mono.converged) == bool(ref.converged)
+    J_ref = float(ref.nonlinear_cost[-1])
+    J_mono = float(mono.nonlinear_cost[-1])
+    assert abs(J_mono - J_ref) < 0.1 * (1.0 + abs(J_ref)), (J_mono, J_ref)
+    np.testing.assert_allclose(np.asarray(mono.td.U),
+                               np.asarray(ref.td.U), rtol=0.2, atol=0.5)
