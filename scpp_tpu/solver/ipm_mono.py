@@ -55,7 +55,7 @@ _HI = jax.lax.Precision.HIGHEST
 # flagship scenario incl. CR factor planes; 32 fits comfortably in the
 # ~120 MB measured ceiling) while amortizing the latency-bound Cholesky
 # column recurrences across the sub-batch
-MONO_BSUB = 16
+MONO_BSUB = 4
 
 
 def mono_supported(prog: StagedProgram, settings: IPMSettings) -> bool:
@@ -80,7 +80,7 @@ def mono_supported(prog: StagedProgram, settings: IPMSettings) -> bool:
 
 
 def _solve_block(statics, AT, GT, b_eq, h, c, d_eq, d_c, E_st, scal,
-                 warm_x, warm_y, warm_z):
+                 warm_x, warm_y, warm_z, part="full"):
     """One sub-batch's complete IPM solve.
 
     statics: (K, w, me, l, soc_sizes, settings); AT/GT are the
@@ -103,8 +103,9 @@ def _solve_block(statics, AT, GT, b_eq, h, c, d_eq, d_c, E_st, scal,
     rho = jnp.asarray(st.rho_lift, dtype)
     sqrho = jnp.sqrt(rho)
 
-    pres_fac = scal[:, 0:1]
-    dres_fac = scal[:, 1:2]
+    scal = scal.reshape(B, 4)    # fed as (B, 1, 4): a (bsub, 4) block
+    pres_fac = scal[:, 0:1]      # would break the (8,128)-divisibility
+    dres_fac = scal[:, 1:2]      # rule on the sublane dim at small bsub
     cb = scal[:, 2:3]
     warm_ok = scal[:, 3:4] > 0.5                              # (B,1)
     warm3 = warm_ok[:, :, None]
@@ -326,12 +327,23 @@ def _solve_block(statics, AT, GT, b_eq, h, c, d_eq, d_c, E_st, scal,
     carry0 = (x0, y0, s0, z0, jnp.zeros((B, 1), dtype),
               x0, y0, s0, z0, inf_score, jnp.asarray(0, jnp.int32))
 
+    # ``part`` is a compile-isolation debug hook (tools/diag/mono_parts)
+    if part == "init":
+        diag = jnp.zeros((B, 4), dtype)
+        return x0, y0, s0, z0, diag
+
     def w_cond(carry):
         done, it = carry[4], carry[10]
         return (it < st.iters) & (jnp.min(done) < 0.5)
 
-    x_f, y_f, s_f, z_f, _, bx, by_, bs, bz, bscore, it_f = \
-        jax.lax.while_loop(w_cond, body, carry0)
+    if part.startswith("iter"):
+        carry = carry0
+        for _ in range(int(part[4:])):
+            carry = body(carry)
+        x_f, y_f, s_f, z_f, _, bx, by_, bs, bz, bscore, it_f = carry
+    else:
+        x_f, y_f, s_f, z_f, _, bx, by_, bs, bz, bscore, it_f = \
+            jax.lax.while_loop(w_cond, body, carry0)
 
     # score the final stepped iterate (mirror the post-loop rescoring)
     *_, fscore = residuals_and_score(x_f, y_f, s_f, z_f)
@@ -381,7 +393,7 @@ def _mono_pallas(statics, bsub: int, interpret: bool, *args):
                             memory_space=pltpu.VMEM)
 
     in_shapes = [(K, 2 * w, me), (K, 2 * w, mc), (K, me), (K, mc), (K, w),
-                 (K, me), (K, mc), (K, w), (4,), (K, w), (K, me), (K, mc)]
+                 (K, me), (K, mc), (K, w), (1, 4), (K, w), (K, me), (K, mc)]
     out_shapes = [(K, w), (K, me), (K, mc), (K, mc), (4,)]
     return pl.pallas_call(
         partial(_mono_kernel, statics),
@@ -442,7 +454,8 @@ def _prep(prog: StagedProgram, settings: IPMSettings, warm_x, warm_y,
     wy = warm_y / (d_eq * c_scale)
     wz = warm_z / (d_c * c_scale)
     scal = jnp.stack([pres_fac, dres_fac, c_scale * b_scale,
-                      jnp.where(warm_ok, 1.0, 0.0).astype(dtype)])
+                      jnp.where(warm_ok, 1.0, 0.0).astype(dtype)]
+                     ).reshape(1, 4)
     scales = (E_st, d_eq, d_c, c_scale, b_scale, bnorm_o, cnorm_o)
     AT = jnp.swapaxes(A_eq, -1, -2)
     GT = jnp.swapaxes(G, -1, -2)
