@@ -36,6 +36,9 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# x64 for the accuracy-lane section (f64 KKT factor); the fast-lane
+# sections keep explicit fp32 data so their dtype regime is unchanged
+jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -105,6 +108,29 @@ def main():
     J_s = np.asarray(r_sh.nonlinear_cost)[:, -1]
     J_dev = float(np.max(np.abs(J_u - J_s)))
 
+    # --- accuracy-lane equality (VERDICT r04 #8) ----------------------
+    # f64-KKT lane: every subproblem solved to ~1e-6, so sharded and
+    # unsharded iterates cannot hide behind fp32 chaos — assert direct
+    # control-trajectory equality.
+    lane_batch = int(os.environ.get("MC_LANE_BATCH", "6"))
+    import dataclasses
+    lane_cfg = dataclasses.replace(cfg, solver=IPMSettings(
+        iters=30, eps_reg=1e-8, eps_feas=1e-6, refine_steps=1,
+        refine_f64=True, kkt_dtype="float64"))
+    pb_lane = jax.tree_util.tree_map(lambda a: a[:lane_batch], pb)
+    rl_un, tl_un, cl_un = timed(
+        lambda: solve_batch(model, pb_lane, lane_cfg))
+    rl_sh, tl_sh, cl_sh = timed(
+        lambda: solve_batch(model, pb_lane, lane_cfg,
+                            mesh=make_scenario_mesh(
+                                devices[:min(n_dev, lane_batch)])))
+    lu, ls = np.asarray(rl_un.td.U), np.asarray(rl_sh.td.U)
+    lane_dev_rel = float(np.max(np.abs(lu - ls))
+                         / max(float(np.max(np.abs(lu))), 1e-30))
+    lane_J_dev = float(np.max(np.abs(
+        np.asarray(rl_un.nonlinear_cost)[:, -1]
+        - np.asarray(rl_sh.nonlinear_cost)[:, -1])))
+
     out = {
         "metric": "sharded_vs_unsharded_flagship_batch",
         "batch": batch,
@@ -120,6 +146,14 @@ def main():
         "max_control_deviation_rel": max_dev / max(u_scale, 1e-30),
         "step0_control_deviation_rel": step0_dev / max(u_scale, 1e-30),
         "final_cost_deviation": J_dev,
+        "accuracy_lane": {
+            "batch": lane_batch,
+            "control_deviation_rel": lane_dev_rel,
+            "final_cost_deviation": lane_J_dev,
+            "converged_unsharded": int(
+                np.asarray(rl_un.converged).sum()),
+            "converged_sharded": int(np.asarray(rl_sh.converged).sum()),
+        },
         "note": ("virtual CPU devices share host cores; scenarios are "
                  "independent so real-chip scaling is linear minus this "
                  "overhead"),

@@ -51,11 +51,14 @@ __all__ = ["mono_supported", "solve_staged_ipm_mono", "MONO_BSUB"]
 
 _HI = jax.lax.Precision.HIGHEST
 
-# scenarios per grid step: bounded by VMEM (~2 MB live state per
-# flagship scenario incl. CR factor planes; 32 fits comfortably in the
-# ~120 MB measured ceiling) while amortizing the latency-bound Cholesky
-# column recurrences across the sub-batch
-MONO_BSUB = 4
+# scenarios per grid step: trades Mosaic compile time (scales with
+# per-op tensor size) against runtime (the kernel is issue-bound, so
+# larger sub-batches amortize the instruction stream); VMEM-bounded at
+# ~2 MB live state per flagship scenario. Measured on v5e at B=64:
+# bsub=4 -> 102 ms/solve batch. Env-overridable for sweeps.
+import os as _os
+
+MONO_BSUB = int(_os.environ.get("SCPP_MONO_BSUB", "8"))
 
 
 def mono_supported(prog: StagedProgram, settings: IPMSettings) -> bool:
@@ -329,7 +332,7 @@ def _solve_block(statics, AT, GT, b_eq, h, c, d_eq, d_c, E_st, scal,
 
     # ``part`` is a compile-isolation debug hook (tools/diag/mono_parts)
     if part == "init":
-        diag = jnp.zeros((B, 4), dtype)
+        diag = jnp.zeros((B, 1, 4), dtype)
         return x0, y0, s0, z0, diag
 
     def w_cond(carry):
@@ -356,7 +359,7 @@ def _solve_block(statics, AT, GT, b_eq, h, c, d_eq, d_c, E_st, scal,
     diag = jnp.concatenate(
         [jnp.minimum(fscore, bscore),
          jnp.broadcast_to(it_f.astype(dtype)[None, None], (B, 1)),
-         jnp.zeros((B, 2), dtype)], axis=1)
+         jnp.zeros((B, 2), dtype)], axis=1)[:, None, :]   # (B, 1, 4)
     return x_b, y_b, s_b, z_b, diag
 
 
@@ -394,7 +397,7 @@ def _mono_pallas(statics, bsub: int, interpret: bool, *args):
 
     in_shapes = [(K, 2 * w, me), (K, 2 * w, mc), (K, me), (K, mc), (K, w),
                  (K, me), (K, mc), (K, w), (1, 4), (K, w), (K, me), (K, mc)]
-    out_shapes = [(K, w), (K, me), (K, mc), (K, mc), (4,)]
+    out_shapes = [(K, w), (K, me), (K, mc), (K, mc), (1, 4)]
     return pl.pallas_call(
         partial(_mono_kernel, statics),
         grid=grid,

@@ -52,11 +52,16 @@ def main():
           f"socs={progs.soc_sizes}")
 
     results = {}
-    for name, fn in [
-            ("unfused", lambda ps: jax.vmap(
-                lambda p: solve_staged_ipm(p, SET))(ps)),
-            ("mono", lambda ps: jax.vmap(
-                lambda p: solve_staged_ipm_mono(p, SET))(ps))]:
+    import os as _os2
+    only = _os2.environ.get("MONO_ONLY")
+    pairs = [
+        ("unfused", lambda ps: jax.vmap(
+            lambda p: solve_staged_ipm(p, SET))(ps)),
+        ("mono", lambda ps: jax.vmap(
+            lambda p: solve_staged_ipm_mono(p, SET))(ps))]
+    if only:
+        pairs = [pr for pr in pairs if pr[0] == only]
+    for name, fn in pairs:
         f = jax.jit(fn)
 
         def fence(r):
