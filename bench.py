@@ -249,12 +249,17 @@ def _flagship_config(budget):
     # low-accuracy subproblem solves safe: bad steps get rejected on the
     # true cost, not the conic model. Conservative settings
     # (iters=25, refine=2) remain the test_fp32.py-pinned fallback.
+    # monolith=True routes the conic solve through the fused whole-solve
+    # Pallas kernel (solver/ipm_mono.py): measured 102 ms vs 164 ms
+    # unfused for the B=64 subproblem batch on v5e (BENCH_MONO=0
+    # reverts to the unfused staged path for A/B runs)
+    monolith = os.environ.get("BENCH_MONO", "1") != "0"
     return SCvxConfig(
         K=30, max_iterations=30, solve_budget=budget,
         change_threshold=1e-3, nondimensionalize=True,
         substeps=6, sim_substeps=8,
         solver=IPMSettings(iters=6, eps_reg=1e-4, eps_feas=1e-4,
-                           refine_steps=0),
+                           refine_steps=0, monolith=monolith),
     )
 
 

@@ -170,12 +170,22 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
     dtype = td0.X.dtype
     w_nu = jnp.asarray(cfg.weight_virtual_control, dtype)
 
+    if cfg.fuse_dynamics:
+        from scpp_tpu.ops.disc_mono import (multiple_shooting_fused,
+                                            nonlinear_defect_cost_fused)
+
     def step(i, carry):
         (td, trust, last_J, has_last, accepts, converged, done, max_res,
          first_fail, warm, has_warm) = carry
 
-        dd = multiple_shooting(model, par, td, substeps=cfg.substeps,
-                               method=cfg.integrator, variable_time=False)
+        if cfg.fuse_dynamics:
+            dd = multiple_shooting_fused(model, par, td,
+                                         substeps=cfg.substeps,
+                                         method=cfg.integrator)
+        else:
+            dd = multiple_shooting(model, par, td, substeps=cfg.substeps,
+                                   method=cfg.integrator,
+                                   variable_time=False)
         # the state radius rides the same accept/reject ladder as the input
         # radius, scaled by the configured ratio
         x_trust = (jnp.asarray(trust, dtype) *
@@ -207,8 +217,13 @@ def solve_scvx(model, params, cfg: SCvxConfig = SCvxConfig(),
         # identical at an exact optimum, robust under inexact conic solves
         # (see linear_defect_cost)
         L = linear_defect_cost(new_td, dd)
-        J_new = nonlinear_defect_cost(model, par, new_td, cfg.sim_substeps,
-                                      cfg.integrator)
+        if cfg.fuse_dynamics:
+            J_new = nonlinear_defect_cost_fused(
+                model, par, new_td, cfg.sim_substeps, cfg.integrator)
+        else:
+            J_new = nonlinear_defect_cost(model, par, new_td,
+                                          cfg.sim_substeps,
+                                          cfg.integrator)
 
         # per-scenario failure masking (SURVEY §5): a failed subproblem
         # solve must not poison the carried trajectory — treat the step as

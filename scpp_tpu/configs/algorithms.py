@@ -59,6 +59,11 @@ class SCvxConfig:
     # (O(K w^3), the TPU speed path); "dense": flat emission + dense-KKT
     # IPM (oracle path; required for l1_split=False)
     backend: str = "staged"
+    # run discretization + resimulation through the fused Pallas RK
+    # kernels (ops/disc_mono.py): identical math to the unfused path in
+    # one dispatch each — the unfused RK chains are ~60 ms of per-op
+    # dispatch overhead per SCvx step at batch 64 (PERF.md §2).
+    fuse_dynamics: bool = False
     # carry the IPM primal/dual state across subproblem solves (staged
     # backend only): consecutive SCvx iterations solve nearly identical
     # SOCPs, so the previous optimum is a strong initial point. No

@@ -58,7 +58,7 @@ _HI = jax.lax.Precision.HIGHEST
 # bsub=4 -> 102 ms/solve batch. Env-overridable for sweeps.
 import os as _os
 
-MONO_BSUB = int(_os.environ.get("SCPP_MONO_BSUB", "8"))
+MONO_BSUB = int(_os.environ.get("SCPP_MONO_BSUB", "4"))
 
 
 def mono_supported(prog: StagedProgram, settings: IPMSettings) -> bool:
