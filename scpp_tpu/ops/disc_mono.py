@@ -38,25 +38,97 @@ def _spec():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
+def _flow_jac_flat(model, xs, us, pars):
+    """f, A, B for N flattened samples WITHOUT jacfwd.
+
+    jacfwd's basis unflattening emits lane-split reshapes Mosaic cannot
+    lower; instead the (n+m) tangent directions are pushed into the
+    batch axis of ONE jvp over the vmapped flow map — all reshapes stay
+    on leading dims."""
+    N, n = xs.shape
+    m = us.shape[-1]
+    d = n + m
+    dtype = xs.dtype
+
+    def rep(a):
+        return jnp.broadcast_to(a[:, None], (N, d) + a.shape[1:]
+                                ).reshape((N * d,) + a.shape[1:])
+
+    xr, ur, pr = rep(xs), rep(us), rep(pars)
+    basis = jnp.eye(d, dtype=dtype)                     # (d, n+m)
+    tx = jnp.broadcast_to(basis[None, :, :n],
+                          (N, d, n)).reshape(N * d, n)
+    tu = jnp.broadcast_to(basis[None, :, n:],
+                          (N, d, m)).reshape(N * d, m)
+
+    fb = jax.vmap(model.flow_map, in_axes=(0, 0, 0))
+    f_out, t_out = jax.jvp(lambda x, u: fb(x, u, pr), (xr, ur), (tx, tu))
+    J = t_out.reshape(N, d, n)
+    f = f_out.reshape(N, d, n)[:, 0]
+    A = jnp.swapaxes(J[:, :n, :], 1, 2)                 # (N, n, n)
+    Bm = jnp.swapaxes(J[:, n:, :], 1, 2)                # (N, n, m)
+    return f, A, Bm
+
+
 def _disc_kernel(model, substeps, method, foh,
                  x_ref, u_ref, t_ref, par_ref,
                  A_ref, B_ref, C_ref, z_ref):
-    from scpp_tpu.ops.discretization import _multiple_shooting_impl
+    # single flattened (scenario x interval) batch: Mosaic matmuls allow
+    # at most ONE batch dimension. The per-interval dt varies per
+    # scenario, so the integration runs in NORMALIZED time tau in [0,1]
+    # with the RHS scaled by dt — the same RK stage evaluations at the
+    # same physical times as the unfused path (reassociated products
+    # only).
+    from scpp_tpu.ops.integrators import integrate_fixed
 
     X, U, ts, par = x_ref[:], u_ref[:], t_ref[:], par_ref[:]
+    B, K, n = X.shape
+    m = U.shape[-1]
+    N = B * (K - 1)
+    dtype = X.dtype
+    p = par.shape[-1]
 
-    def one(Xi, Ui, ti, pari):
-        td = TrajectoryData(X=Xi, U=Ui, t=ti)
-        dd = _multiple_shooting_impl(model, pari, td, None, substeps,
-                                     method, False)
-        C = dd.C if foh else jnp.zeros_like(dd.B)
-        return dd.A, dd.B, C, dd.z
+    x0 = X[:, :-1].reshape(N, n)
+    u0 = U[:, :K - 1].reshape(N, m)
+    u1 = (U[:, 1:K] if foh else U[:, :K - 1]).reshape(N, m)
+    parN = jnp.broadcast_to(par[:, None, :], (B, K - 1, p)).reshape(N, p)
+    dtN = jnp.broadcast_to(ts.reshape(B, 1, 1) / (K - 1),
+                           (B, K - 1, 1)).reshape(N, 1)
 
-    A, Bm, C, z = jax.vmap(one)(X, U, ts[:, 0], par)
-    A_ref[:] = A
-    B_ref[:] = Bm
-    C_ref[:] = C
-    z_ref[:] = z
+    n_cols = n + m + (m if foh else 0) + 1
+
+    def G(V, tau):
+        x, Y = V
+        u = u0 + tau * (u1 - u0) if foh else u0
+        f, A, Bm = _flow_jac_flat(model, x, u, parN)
+        Ax = jnp.sum(A * x[:, None, :], axis=2)
+        Bu = jnp.sum(Bm * u[:, None, :], axis=2)
+        r = f - Ax - Bu                                  # (N, n)
+        cols = [jnp.zeros((N, n, n), dtype)]
+        if foh:
+            cols += [Bm * (1.0 - tau), Bm * tau]
+        else:
+            cols.append(Bm)
+        cols.append(r[:, :, None])
+        R = jnp.concatenate(cols, axis=2)               # (N, n, n_cols)
+        dY = jax.lax.dot_general(
+            A, Y, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype) + R
+        dt3 = dtN[:, :, None]
+        return (dtN * f, dt3 * dY)
+
+    Y0 = jnp.broadcast_to(
+        jnp.concatenate([jnp.eye(n, dtype=dtype),
+                         jnp.zeros((n, n_cols - n), dtype)], axis=1)[None],
+        (N, n, n_cols))
+    _, Y = integrate_fixed(G, (x0, Y0), 0.0, 1.0, substeps, method)
+
+    A_ref[:] = Y[:, :, :n].reshape(B, K - 1, n, n)
+    B_ref[:] = Y[:, :, n:n + m].reshape(B, K - 1, n, m)
+    C_ref[:] = (Y[:, :, n + m:n + 2 * m] if foh
+                else jnp.zeros((N, n, m), dtype)).reshape(B, K - 1, n, m)
+    z_ref[:] = Y[:, :, n_cols - 1].reshape(B, K - 1, n)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
@@ -130,18 +202,32 @@ def multiple_shooting_fused(model, par, td: TrajectoryData,
 
 def _resim_kernel(model, substeps, method, foh,
                   x_ref, u_ref, t_ref, par_ref, out_ref):
-    from scpp_tpu.algos.common import interval_resimulation
+    # flattened single batch in normalized time (see _disc_kernel): the
+    # per-row vmap(simulate) form compiled for tens of minutes under
+    # Mosaic; this shape is one batched flow per RK stage
+    from scpp_tpu.ops.integrators import integrate_fixed
 
     X, U, ts, par = x_ref[:], u_ref[:], t_ref[:], par_ref[:]
+    B, K, n = X.shape
+    m = U.shape[-1]
+    N = B * (K - 1)
+    p = par.shape[-1]
 
-    def one(Xi, Ui, ti, pari):
-        td = TrajectoryData(X=Xi, U=Ui, t=ti)
-        x_end = interval_resimulation(model, pari, td, substeps, method)
-        return jnp.sum(jnp.sum(jnp.abs(x_end - Xi[1:]), axis=1), axis=0)
+    x0 = X[:, :-1].reshape(N, n)
+    u0 = U[:, :K - 1].reshape(N, m)
+    u1 = (U[:, 1:K] if foh else U[:, :K - 1]).reshape(N, m)
+    parN = jnp.broadcast_to(par[:, None, :], (B, K - 1, p)).reshape(N, p)
+    dtN = jnp.broadcast_to(ts.reshape(B, 1, 1) / (K - 1),
+                           (B, K - 1, 1)).reshape(N, 1)
+    fb = jax.vmap(model.flow_map, in_axes=(0, 0, 0))
 
-    # keepdims-style (B, 1) output: scalars per scenario
-    J = jax.vmap(one)(X, U, ts[:, 0], par)
-    out_ref[:] = J[:, None]
+    def G(x, tau):
+        u = u0 + tau * (u1 - u0) if foh else u0
+        return dtN * fb(x, u, parN)
+
+    x_end = integrate_fixed(G, x0, 0.0, 1.0, substeps, method)
+    d = jnp.abs(x_end.reshape(B, K - 1, n) - X[:, 1:])
+    out_ref[:] = jnp.sum(jnp.sum(d, axis=2), axis=1, keepdims=True)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))

@@ -76,12 +76,16 @@ def rk_step(f, y, t, h, method: str = "dopri5"):
 
 
 def integrate_fixed(f, y0, t0, t1, steps: int, method: str = "dopri5"):
-    """Integrate y' = f(y, t) from t0 to t1 in ``steps`` fixed RK steps."""
+    """Integrate y' = f(y, t) from t0 to t1 in ``steps`` fixed RK steps.
+
+    fori_loop rather than a scan over arange: identical numerics and XLA
+    code, but Mosaic's scan lowering rejects extensive (xs) inputs, and
+    this loop runs inside the fused dynamics kernels (ops/disc_mono.py).
+    """
     h = (t1 - t0) / steps
 
-    def body(y, i):
+    def body(i, y):
         t = t0 + i * h
-        return rk_step(f, y, t, h, method), None
+        return rk_step(f, y, t, h, method)
 
-    y_final, _ = jax.lax.scan(body, y0, jnp.arange(steps))
-    return y_final
+    return jax.lax.fori_loop(0, steps, body, y0)

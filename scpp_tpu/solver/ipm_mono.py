@@ -536,10 +536,15 @@ def _mono_entry(statics, interpret: bool):
     latency-bound recurrences B times)."""
 
     def base(progs, warm_x, warm_y, warm_z, warm_ok):
-        one = jax.tree_util.tree_map(lambda a: a[None], progs)
+        # unbatched call: tile to 8 scenarios — (1, ...)-shaped reductions
+        # hit a Mosaic "offset change" lowering bug, and the kernel is
+        # issue-bound so the padding is nearly free
+        def t8(a):
+            return jnp.broadcast_to(a[None], (8,) + a.shape)
+        eight = jax.tree_util.tree_map(t8, progs)
         res = _solve_mono_batched(
-            statics, interpret, one, warm_x[None], warm_y[None],
-            warm_z[None], warm_ok[None])
+            statics, interpret, eight, t8(warm_x), t8(warm_y),
+            t8(warm_z), t8(warm_ok))
         return jax.tree_util.tree_map(lambda a: a[0], res)
 
     fn = jax.custom_batching.custom_vmap(base)
