@@ -166,11 +166,32 @@ class RocketQuat:
 
         mdot = -alpha_m * jnp.linalg.norm(thrust)
         rdot = v
-        vdot = (R_I_B @ thrust) / m + g_I
-        qdot = 0.5 * (omega_matrix(w) @ q)
+        # the three small contractions (R @ T, Omega @ q, cross) are
+        # expanded component-wise: identical products in identical
+        # left-to-right order as the matmul/cross forms, but they also
+        # lower inside the fused-dynamics Pallas kernels, where Mosaic
+        # rejects tiny accumulator reductions
+        Rt = jnp.stack([
+            R_I_B[0, 0] * thrust[0] + R_I_B[0, 1] * thrust[1]
+            + R_I_B[0, 2] * thrust[2],
+            R_I_B[1, 0] * thrust[0] + R_I_B[1, 1] * thrust[1]
+            + R_I_B[1, 2] * thrust[2],
+            R_I_B[2, 0] * thrust[0] + R_I_B[2, 1] * thrust[1]
+            + R_I_B[2, 2] * thrust[2]])
+        vdot = Rt / m + g_I
+        w0, w1, w2 = w[0], w[1], w[2]
+        qdot = 0.5 * jnp.stack([
+            -w0 * q[1] - w1 * q[2] - w2 * q[3],
+            w0 * q[0] + w2 * q[2] - w1 * q[3],
+            w1 * q[0] - w2 * q[1] + w0 * q[3],
+            w2 * q[0] + w1 * q[1] - w0 * q[2]])
         # note: the reference subtracts w x w which is identically zero
         # (rocketQuat.cpp:36); both f and its Jacobians are unaffected.
-        wdot = (jnp.cross(r_T_B, thrust) + torque) / J_B
+        rxT = jnp.stack([
+            r_T_B[1] * thrust[2] - r_T_B[2] * thrust[1],
+            r_T_B[2] * thrust[0] - r_T_B[0] * thrust[2],
+            r_T_B[0] * thrust[1] - r_T_B[1] * thrust[0]])
+        wdot = (rxT + torque) / J_B
         return jnp.concatenate([mdot[None], rdot, vdot, qdot, wdot])
 
     @staticmethod

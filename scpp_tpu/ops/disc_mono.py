@@ -55,11 +55,14 @@ def _flow_jac_flat(model, xs, us, pars):
                                 ).reshape((N * d,) + a.shape[1:])
 
     xr, ur, pr = rep(xs), rep(us), rep(pars)
-    basis = jnp.eye(d, dtype=dtype)                     # (d, n+m)
-    tx = jnp.broadcast_to(basis[None, :, :n],
-                          (N, d, n)).reshape(N * d, n)
-    tu = jnp.broadcast_to(basis[None, :, n:],
-                          (N, d, m)).reshape(N * d, m)
+    # tangent bases from iota (an eye+slice here lowered to a gather,
+    # which Mosaic rejects): row r carries direction (r mod d)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (N * d, n), 0) % d
+    ci = jax.lax.broadcasted_iota(jnp.int32, (N * d, n), 1)
+    tx = (ri == ci).astype(dtype)
+    riu = jax.lax.broadcasted_iota(jnp.int32, (N * d, m), 0) % d
+    ciu = jax.lax.broadcasted_iota(jnp.int32, (N * d, m), 1)
+    tu = (riu - n == ciu).astype(dtype)
 
     fb = jax.vmap(model.flow_map, in_axes=(0, 0, 0))
     f_out, t_out = jax.jvp(lambda x, u: fb(x, u, pr), (xr, ur), (tx, tu))
