@@ -38,6 +38,87 @@ def _spec():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
+def _tableau_arrays(method):
+    """a-matrix (S, S) — passed as a kernel INPUT (captured constants
+    are rejected); b and c stay Python floats (static)."""
+    import numpy as np
+
+    from scpp_tpu.ops.integrators import TABLEAUS
+    c, a_rows, b = TABLEAUS[method]
+    S = len(c)
+    A = np.zeros((S, S), np.float64)
+    for i, row in enumerate(a_rows):
+        A[i, :len(row)] = row
+    return A
+
+
+def _rk_fori(G, state0, substeps, A2, method):
+    """Fixed-step RK with the STAGE loop as a fori (one compiled body —
+    the unrolled 7-stage jvp'd body pushed Mosaic compile past 25 min).
+
+    Stage slopes live in VMEM scratch slots (run_scoped): slot writes
+    use pl.ds on the leading dim (the one dynamic indexing Mosaic
+    supports), slot reads are static, and stage weights are (1, 1)
+    scalars — every broadcast Mosaic-legal. Numerics mirror
+    integrators.rk_step: the masked-off upper-triangle contributes
+    exact (h*0)*k = +0.0 terms in ascending order, and the final
+    b-combination skips zero weights with Python-float coefficients,
+    so results match the unrolled form bitwise. ``A2`` is the (S, S)
+    a-matrix as a traced input; b/c come from the tableau statically.
+    """
+    from scpp_tpu.ops.integrators import TABLEAUS
+    c_list, _, b_list = (TABLEAUS[method][0], TABLEAUS[method][1],
+                         TABLEAUS[method][2])
+    S = len(c_list)
+    h = 1.0 / substeps
+    dtype = state0[0].dtype
+    A2 = A2.astype(dtype)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+
+    def body(*krefs):
+        # zero-init: stale slots multiply by exact 0.0 weights below,
+        # which is only safe if they hold finite values
+        for kref, leaf in zip(krefs, state0):
+            kref[...] = jnp.zeros((S,) + leaf.shape, dtype)
+
+        def step(istep, state):
+            t0 = istep.astype(dtype) * h
+
+            def stage(i, carry):
+                ohr = (row_ids == i).astype(dtype)           # (S, 1)
+                arow = jnp.sum(A2 * ohr, axis=0,
+                               keepdims=True)                # (1, S)
+                yi = []
+                for leaf, kref in zip(state, krefs):
+                    acc = leaf
+                    for s in range(S):
+                        acc = acc + (h * arow[:, s:s + 1]) * kref[s]
+                    yi.append(acc)
+                # stage time: sum_s [i == s] * c_s with static floats
+                ci = jnp.zeros((), dtype)
+                for s in range(S):
+                    ci = ci + jnp.where(i == s, float(c_list[s]), 0.0)
+                ki = G(tuple(yi), t0 + ci * h)
+                for kref, kl in zip(krefs, ki):
+                    kref[pl.ds(i, 1)] = kl[None]
+                return carry
+
+            jax.lax.fori_loop(0, S, stage, 0)
+            out = []
+            for leaf, kref in zip(state, krefs):
+                acc = leaf
+                for s in range(S):
+                    if float(b_list[s]) != 0.0:
+                        acc = acc + (h * float(b_list[s])) * kref[s]
+                out.append(acc)
+            return tuple(out)
+
+        return jax.lax.fori_loop(0, substeps, step, state0)
+
+    return pl.run_scoped(
+        body, *[pltpu.VMEM((S,) + leaf.shape, dtype) for leaf in state0])
+
+
 def _flow_jac_flat(model, xs, us, pars):
     """f, A, B for N flattened samples WITHOUT jacfwd.
 
@@ -74,7 +155,7 @@ def _flow_jac_flat(model, xs, us, pars):
 
 
 def _disc_kernel(model, substeps, method, foh,
-                 x_ref, u_ref, t_ref, par_ref,
+                 x_ref, u_ref, t_ref, par_ref, tabA_ref,
                  A_ref, B_ref, C_ref, z_ref):
     # single flattened (scenario x interval) batch: Mosaic matmuls allow
     # at most ONE batch dimension. The per-interval dt varies per
@@ -82,9 +163,8 @@ def _disc_kernel(model, substeps, method, foh,
     # with the RHS scaled by dt — the same RK stage evaluations at the
     # same physical times as the unfused path (reassociated products
     # only).
-    from scpp_tpu.ops.integrators import integrate_fixed
-
     X, U, ts, par = x_ref[:], u_ref[:], t_ref[:], par_ref[:]
+    tabA = tabA_ref[:]
     B, K, n = X.shape
     m = U.shape[-1]
     N = B * (K - 1)
@@ -125,7 +205,7 @@ def _disc_kernel(model, substeps, method, foh,
         jnp.concatenate([jnp.eye(n, dtype=dtype),
                          jnp.zeros((n, n_cols - n), dtype)], axis=1)[None],
         (N, n, n_cols))
-    _, Y = integrate_fixed(G, (x0, Y0), 0.0, 1.0, substeps, method)
+    _, Y = _rk_fori(G, (x0, Y0), substeps, tabA, method)
 
     A_ref[:] = Y[:, :, :n].reshape(B, K - 1, n, n)
     B_ref[:] = Y[:, :, n:n + m].reshape(B, K - 1, n, m)
@@ -146,23 +226,28 @@ def _disc_pallas(model, substeps, method, foh, interpret,
         jax.ShapeDtypeStruct((B, K - 1, n, m), dtype),
         jax.ShapeDtypeStruct((B, K - 1, n), dtype),
     ]
+    tabA = jnp.asarray(_tableau_arrays(method), dtype)
     return pl.pallas_call(
         partial(_disc_kernel, model, substeps, method, foh),
         out_shape=out_shapes,
-        in_specs=[_spec()] * 4,
+        in_specs=[_spec()] * 5,
         out_specs=[_spec()] * 4,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(X, U, ts, par)
+    )(X, U, ts, par, tabA)
 
 
 @lru_cache(maxsize=16)
 def _disc_entry(model, substeps, method, foh, interpret):
     def base(X, U, t, par):
+        # unbatched call: tile to 8 (single-row reductions hit Mosaic
+        # relayout bugs; the kernel is issue-bound so padding is cheap)
+        def t8(a):
+            return jnp.broadcast_to(a[None], (8,) + a.shape)
         A, Bm, C, z = _disc_pallas(model, substeps, method, foh,
-                                   interpret, X[None], U[None],
-                                   t[None, None], par[None])
+                                   interpret, t8(X), t8(U),
+                                   t8(t[None]), t8(par))
         return A[0], Bm[0], C[0], z[0]
 
     fn = jax.custom_batching.custom_vmap(base)
@@ -204,13 +289,12 @@ def multiple_shooting_fused(model, par, td: TrajectoryData,
 
 
 def _resim_kernel(model, substeps, method, foh,
-                  x_ref, u_ref, t_ref, par_ref, out_ref):
+                  x_ref, u_ref, t_ref, par_ref, tabA_ref, out_ref):
     # flattened single batch in normalized time (see _disc_kernel): the
     # per-row vmap(simulate) form compiled for tens of minutes under
     # Mosaic; this shape is one batched flow per RK stage
-    from scpp_tpu.ops.integrators import integrate_fixed
-
     X, U, ts, par = x_ref[:], u_ref[:], t_ref[:], par_ref[:]
+    tabA = tabA_ref[:]
     B, K, n = X.shape
     m = U.shape[-1]
     N = B * (K - 1)
@@ -224,11 +308,12 @@ def _resim_kernel(model, substeps, method, foh,
                            (B, K - 1, 1)).reshape(N, 1)
     fb = jax.vmap(model.flow_map, in_axes=(0, 0, 0))
 
-    def G(x, tau):
+    def G(V, tau):
+        (x,) = V
         u = u0 + tau * (u1 - u0) if foh else u0
-        return dtN * fb(x, u, parN)
+        return (dtN * fb(x, u, parN),)
 
-    x_end = integrate_fixed(G, x0, 0.0, 1.0, substeps, method)
+    (x_end,) = _rk_fori(G, (x0,), substeps, tabA, method)
     d = jnp.abs(x_end.reshape(B, K - 1, n) - X[:, 1:])
     out_ref[:] = jnp.sum(jnp.sum(d, axis=2), axis=1, keepdims=True)
 
@@ -236,22 +321,25 @@ def _resim_kernel(model, substeps, method, foh,
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _resim_pallas(model, substeps, method, foh, interpret, X, U, ts, par):
     B = X.shape[0]
+    tabA = jnp.asarray(_tableau_arrays(method), X.dtype)
     return pl.pallas_call(
         partial(_resim_kernel, model, substeps, method, foh),
         out_shape=jax.ShapeDtypeStruct((B, 1), X.dtype),
-        in_specs=[_spec()] * 4,
+        in_specs=[_spec()] * 5,
         out_specs=_spec(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(X, U, ts, par)
+    )(X, U, ts, par, tabA)
 
 
 @lru_cache(maxsize=16)
 def _resim_entry(model, substeps, method, foh, interpret):
     def base(X, U, t, par):
+        def t8(a):
+            return jnp.broadcast_to(a[None], (8,) + a.shape)
         J = _resim_pallas(model, substeps, method, foh, interpret,
-                          X[None], U[None], t[None, None], par[None])
+                          t8(X), t8(U), t8(t[None]), t8(par))
         return J[0, 0]
 
     fn = jax.custom_batching.custom_vmap(base)
