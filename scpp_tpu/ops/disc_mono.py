@@ -214,24 +214,53 @@ def _disc_kernel(model, substeps, method, foh,
     z_ref[:] = Y[:, :, n_cols - 1].reshape(B, K - 1, n)
 
 
+def _bsub_of(B):
+    """Scenarios per grid step: Mosaic compile time scales with per-op
+    tensor size, so the batch is gridded; runtime is issue-bound and
+    insensitive to the split (the ungridded flagship-shape kernel
+    compiled for >20 min)."""
+    for cand in (8, 4, 2, 1):
+        if B % cand == 0:
+            return cand
+    return 1
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _disc_pallas(model, substeps, method, foh, interpret,
                  X, U, ts, par):
     B, K, n = X.shape
     m = U.shape[-1]
+    p = par.shape[-1]
     dtype = X.dtype
+    bs = _bsub_of(B)
+    tabA = jnp.asarray(_tableau_arrays(method), dtype)
+    S = tabA.shape[0]
+
+    def bspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec((bs,) + shape,
+                            lambda i, _nd=nd: (i,) + (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    def shared(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
     out_shapes = [
         jax.ShapeDtypeStruct((B, K - 1, n, n), dtype),
         jax.ShapeDtypeStruct((B, K - 1, n, m), dtype),
         jax.ShapeDtypeStruct((B, K - 1, n, m), dtype),
         jax.ShapeDtypeStruct((B, K - 1, n), dtype),
     ]
-    tabA = jnp.asarray(_tableau_arrays(method), dtype)
     return pl.pallas_call(
         partial(_disc_kernel, model, substeps, method, foh),
+        grid=(B // bs,),
         out_shape=out_shapes,
-        in_specs=[_spec()] * 5,
-        out_specs=[_spec()] * 4,
+        in_specs=[bspec((K, n)), bspec((K, m)), bspec((1,)),
+                  bspec((p,)), shared((S, S))],
+        out_specs=[bspec((K - 1, n, n)), bspec((K - 1, n, m)),
+                   bspec((K - 1, n, m)), bspec((K - 1, n))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -320,13 +349,31 @@ def _resim_kernel(model, substeps, method, foh,
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _resim_pallas(model, substeps, method, foh, interpret, X, U, ts, par):
-    B = X.shape[0]
+    B, K, n = X.shape
+    m = U.shape[-1]
+    p = par.shape[-1]
+    bs = _bsub_of(B)
     tabA = jnp.asarray(_tableau_arrays(method), X.dtype)
+    S = tabA.shape[0]
+
+    def bspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec((bs,) + shape,
+                            lambda i, _nd=nd: (i,) + (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    def shared(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
     return pl.pallas_call(
         partial(_resim_kernel, model, substeps, method, foh),
+        grid=(B // bs,),
         out_shape=jax.ShapeDtypeStruct((B, 1), X.dtype),
-        in_specs=[_spec()] * 5,
-        out_specs=_spec(),
+        in_specs=[bspec((K, n)), bspec((K, m)), bspec((1,)),
+                  bspec((p,)), shared((S, S))],
+        out_specs=bspec((1,)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
