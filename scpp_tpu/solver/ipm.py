@@ -115,6 +115,13 @@ class IPMSettings:
     # unsupported shapes fall back to the unfused path transparently.
     # Off-TPU the kernel runs in interpreter mode (tests).
     monolith: bool = struct.field(pytree_node=False, default=False)
+    # keep the running best-scored iterate inside the fused kernel
+    # (mirrors the unfused solver). Disabling halves the while-carry
+    # footprint, which lets the kernel run larger scenario sub-batches
+    # before Mosaic's register-spill VMEM demand overflows; the solve
+    # then returns the final (finiteness-guarded) iterate. Safe when an
+    # outer loop gates on re-simulated cost (the SCvx fast lane).
+    mono_track_best: bool = struct.field(pytree_node=False, default=True)
 
 
 class _ConeOps:

@@ -261,6 +261,8 @@ def _solve_block(statics, AT, GT, b_eq, h, c, d_eq, d_c, E_st, scal,
         return jnp.all(jnp.all(jnp.isfinite(t), axis=2), axis=1,
                        keepdims=True)
 
+    track_best = st.mono_track_best
+
     def body(carry):
         x, y, s, z, done, bx, by_, bs, bz, bscore, it = carry
         rx, ry, rz, gap, pres, dres, relgap, score = \
@@ -305,12 +307,13 @@ def _solve_block(statics, AT, GT, b_eq, h, c, d_eq, d_c, E_st, scal,
         conv = ((pres < st.eps_feas) & (dres < st.eps_feas)
                 & (relgap < st.eps_feas))
 
-        better = (score < bscore)[:, :, None]
-        bx = jnp.where(better, x, bx)
-        by_ = jnp.where(better, y, by_)
-        bs = jnp.where(better, s, bs)
-        bz = jnp.where(better, z, bz)
-        bscore = jnp.minimum(score, bscore)
+        if track_best:
+            better = (score < bscore)[:, :, None]
+            bx = jnp.where(better, x, bx)
+            by_ = jnp.where(better, y, by_)
+            bs = jnp.where(better, s, bs)
+            bz = jnp.where(better, z, bz)
+            bscore = jnp.minimum(score, bscore)
 
         # ``done`` is carried as 0/1 float: Mosaic cannot yield i1
         # vectors from scf.while
@@ -327,8 +330,16 @@ def _solve_block(statics, AT, GT, b_eq, h, c, d_eq, d_c, E_st, scal,
         return (x, y, s, z, done_n, bx, by_, bs, bz, bscore, it + 1)
 
     inf_score = jnp.full((B, 1), jnp.inf, dtype)
-    carry0 = (x0, y0, s0, z0, jnp.zeros((B, 1), dtype),
-              x0, y0, s0, z0, inf_score, jnp.asarray(0, jnp.int32))
+    zer = jnp.zeros((B, 1), dtype)
+    if track_best:
+        carry0 = (x0, y0, s0, z0, zer,
+                  x0, y0, s0, z0, inf_score, jnp.asarray(0, jnp.int32))
+    else:
+        # placeholder best slots (1-element, never updated) keep the
+        # carry structure uniform without the 2x state footprint
+        carry0 = (x0, y0, s0, z0, zer,
+                  x0[:, :1, :1], y0[:, :1, :1], s0[:, :1, :1],
+                  z0[:, :1, :1], inf_score, jnp.asarray(0, jnp.int32))
 
     # ``part`` is a compile-isolation debug hook (tools/diag/mono_parts)
     if part == "init":
@@ -350,11 +361,14 @@ def _solve_block(statics, AT, GT, b_eq, h, c, d_eq, d_c, E_st, scal,
 
     # score the final stepped iterate (mirror the post-loop rescoring)
     *_, fscore = residuals_and_score(x_f, y_f, s_f, z_f)
-    fbetter = (fscore < bscore)[:, :, None]
-    x_b = jnp.where(fbetter, x_f, bx)
-    y_b = jnp.where(fbetter, y_f, by_)
-    s_b = jnp.where(fbetter, s_f, bs)
-    z_b = jnp.where(fbetter, z_f, bz)
+    if track_best:
+        fbetter = (fscore < bscore)[:, :, None]
+        x_b = jnp.where(fbetter, x_f, bx)
+        y_b = jnp.where(fbetter, y_f, by_)
+        s_b = jnp.where(fbetter, s_f, bs)
+        z_b = jnp.where(fbetter, z_f, bz)
+    else:
+        x_b, y_b, s_b, z_b = x_f, y_f, s_f, z_f
 
     diag = jnp.concatenate(
         [jnp.minimum(fscore, bscore),
