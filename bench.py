@@ -254,17 +254,13 @@ def _flagship_config(budget):
     # unfused for the B=64 subproblem batch on v5e (BENCH_MONO=0
     # reverts to the unfused staged path for A/B runs)
     monolith = os.environ.get("BENCH_MONO", "1") != "0"
-    # best-iterate tracking off in the fast lane: the SCvx accept test
-    # re-simulates the true dynamics, so the basin gate (not the conic
-    # score) is the answer-quality contract, and the halved kernel
-    # carry lets the fused solve run 8-scenario sub-batches
+    iters = int(os.environ.get("BENCH_IPM_ITERS", "6"))
     return SCvxConfig(
         K=30, max_iterations=30, solve_budget=budget,
         change_threshold=1e-3, nondimensionalize=True,
         substeps=6, sim_substeps=8,
-        solver=IPMSettings(iters=6, eps_reg=1e-4, eps_feas=1e-4,
-                           refine_steps=0, monolith=monolith,
-                           mono_track_best=False),
+        solver=IPMSettings(iters=iters, eps_reg=1e-4, eps_feas=1e-4,
+                           refine_steps=0, monolith=monolith),
     )
 
 
