@@ -89,8 +89,9 @@ def bench_phases(batch):
     tdb = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a, (batch,) + a.shape), td)
     # match the headline configuration (see _flagship_config)
-    solver = IPMSettings(iters=6, eps_reg=1e-4, eps_feas=1e-4,
-                         refine_steps=0)
+    solver = IPMSettings(iters=int(os.environ.get("BENCH_IPM_ITERS", "10")),
+                         eps_reg=1e-4, eps_feas=1e-4, refine_steps=0,
+                         monolith=os.environ.get("BENCH_MONO", "1") != "0")
 
     def timed(name, f, *args):
         out = f(*args)
@@ -253,8 +254,17 @@ def _flagship_config(budget):
     # Pallas kernel (solver/ipm_mono.py): measured 102 ms vs 164 ms
     # unfused for the B=64 subproblem batch on v5e (BENCH_MONO=0
     # reverts to the unfused staged path for A/B runs)
+    # IPM iteration cap: the r05 10-seed sweeps
+    # (tools/diag/seed_sweep_r05.json) show the quality-speed frontier
+    # is bimodal — iters=6 is fastest (31.6 solves/s) but lands outside
+    # the defect basin on 2/10 dispersion seeds, while iters=7-9 are
+    # far outside on many seeds; iters=10 is the fastest config that is
+    # IN BASIN with 64/64 convergence on ALL 10 seeds (J_end max 0.049
+    # vs bound 0.06), so per the r04 review protocol the headline takes
+    # the robust config and the throughput hit honestly. The bench
+    # still gates every run with final_cost_in_basin.
     monolith = os.environ.get("BENCH_MONO", "1") != "0"
-    iters = int(os.environ.get("BENCH_IPM_ITERS", "6"))
+    iters = int(os.environ.get("BENCH_IPM_ITERS", "10"))
     return SCvxConfig(
         K=30, max_iterations=30, solve_budget=budget,
         change_threshold=1e-3, nondimensionalize=True,
